@@ -1,0 +1,234 @@
+"""Shared Flax layers used across the framework's model zoo.
+
+All modules are NHWC (TPU-native layout) flax.linen, with parameter layouts
+chosen so torch checkpoints convert by pure transposition (see
+``animateportrait_tpu.io.torch_convert``).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+class PReLU(nn.Module):
+    """Channel-wise parametric ReLU (torch nn.PReLU(num_parameters=C))."""
+
+    features: int
+    init: float = 0.25
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param(
+            "alpha", lambda k, s: jnp.full(s, self.init, jnp.float32),
+            (self.features,),
+        )
+        return jnp.where(x >= 0, x, x * alpha)
+
+
+def max_pool_ceil(x, window: int, stride: int) -> jax.Array:
+    """Max pool with torch ceil_mode=True semantics, NHWC.
+
+    torch pads implicitly on the bottom/right so that the last window may
+    start at the final valid position; emulated with -inf padding sized
+    ceil((size - window)/stride)*stride + window - size.
+    """
+    n, h, w, c = x.shape
+
+    def pad_amount(size):
+        import math
+
+        out = math.ceil((size - window) / stride) + 1
+        return max(0, (out - 1) * stride + window - size)
+
+    ph, pw = pad_amount(h), pad_amount(w)
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), (0, ph), (0, pw), (0, 0)),
+    )
+
+
+class InstanceNorm(nn.Module):
+    """Per-sample, per-channel normalization (torch InstanceNorm2d defaults:
+    affine=False, eps=1e-5) over spatial dims of NHWC input."""
+
+    eps: float = 1e-5
+    affine: bool = False
+    features: int | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.var(x, axis=(1, 2), keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.affine:
+            feats = self.features or x.shape[-1]
+            scale = self.param("scale", nn.initializers.ones, (feats,))
+            bias = self.param("bias", nn.initializers.zeros, (feats,))
+            y = y * scale + bias
+        return y
+
+
+class GroupNorm(nn.Module):
+    """torch-compatible GroupNorm (eps 1e-5, affine)."""
+
+    num_groups: int
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.GroupNorm(
+            num_groups=self.num_groups, epsilon=self.eps, name="gn"
+        )(x)
+
+
+def reflect_pad_2d(x, pad: int):
+    """NHWC reflection padding (torch ReflectionPad2d)."""
+    return jnp.pad(
+        x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect"
+    )
+
+
+def replicate_pad_2d(x, pad: int):
+    """NHWC replication padding (torch ReplicationPad2d)."""
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
+
+
+class LSTMCellTorch(nn.Module):
+    """LSTM cell with torch gate order (i, f, g, o) and torch param layout.
+
+    Weight shapes: w_ih (4H, I), w_hh (4H, H), b_ih (4H,), b_hh (4H,) —
+    matching torch nn.LSTM so checkpoint conversion is a direct copy.
+    """
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, carry, x):
+        h, c = carry
+        input_dim = x.shape[-1]
+        k = 1.0 / jnp.sqrt(self.hidden)
+
+        def unif(key, shape):
+            return jax.random.uniform(key, shape, jnp.float32, -k, k)
+
+        w_ih = self.param("w_ih", unif, (4 * self.hidden, input_dim))
+        w_hh = self.param("w_hh", unif, (4 * self.hidden, self.hidden))
+        b_ih = self.param("b_ih", unif, (4 * self.hidden,))
+        b_hh = self.param("b_hh", unif, (4 * self.hidden,))
+        z = x @ w_ih.T + h @ w_hh.T + b_ih + b_hh
+        i, f, g, o = jnp.split(z, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        return (h_new, c_new), h_new
+
+
+class LSTM(nn.Module):
+    """(Stacked, optionally bidirectional) LSTM over (B, T, F) via nn.scan.
+
+    Mirrors torch nn.LSTM(batch_first=True): layer l direction d parameters
+    live under scope ``layer{l}{_rev}``.
+    """
+
+    hidden: int
+    num_layers: int = 1
+    bidirectional: bool = False
+
+    @nn.compact
+    def __call__(self, x, init_carry=None):
+        B = x.shape[0]
+
+        def run(cell, xs, reverse=False):
+            carry = (
+                jnp.zeros((B, self.hidden), x.dtype),
+                jnp.zeros((B, self.hidden), x.dtype),
+            )
+            if reverse:
+                xs = jnp.flip(xs, axis=1)
+            scan = nn.scan(
+                lambda c, carry, inp: c(carry, inp),
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=1,
+                out_axes=1,
+            )
+            carry, ys = scan(cell, carry, xs)
+            if reverse:
+                ys = jnp.flip(ys, axis=1)
+            return ys, carry
+
+        out = x
+        final_states = []
+        for layer in range(self.num_layers):
+            fwd_cell = LSTMCellTorch(self.hidden, name=f"layer{layer}")
+            ys_f, carry_f = run(fwd_cell, out)
+            if self.bidirectional:
+                bwd_cell = LSTMCellTorch(self.hidden, name=f"layer{layer}_rev")
+                ys_b, carry_b = run(bwd_cell, out, reverse=True)
+                out = jnp.concatenate([ys_f, ys_b], axis=-1)
+                final_states.append((carry_f, carry_b))
+            else:
+                out = ys_f
+                final_states.append(carry_f)
+        return out, final_states
+
+
+class GRUCellTorch(nn.Module):
+    """GRU cell with torch gate order (r, z, n) and torch param layout."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, carry, x):
+        h = carry
+        input_dim = x.shape[-1]
+        k = 1.0 / jnp.sqrt(self.hidden)
+
+        def unif(key, shape):
+            return jax.random.uniform(key, shape, jnp.float32, -k, k)
+
+        w_ih = self.param("w_ih", unif, (3 * self.hidden, input_dim))
+        w_hh = self.param("w_hh", unif, (3 * self.hidden, self.hidden))
+        b_ih = self.param("b_ih", unif, (3 * self.hidden,))
+        b_hh = self.param("b_hh", unif, (3 * self.hidden,))
+        gi = x @ w_ih.T + b_ih
+        gh = h @ w_hh.T + b_hh
+        ir, iz, in_ = jnp.split(gi, 3, axis=-1)
+        hr, hz, hn = jnp.split(gh, 3, axis=-1)
+        r = jax.nn.sigmoid(ir + hr)
+        z = jax.nn.sigmoid(iz + hz)
+        n = jnp.tanh(in_ + r * hn)
+        h_new = (1 - z) * n + z * h
+        return h_new, h_new
+
+
+class GRU(nn.Module):
+    """Stacked unidirectional GRU over (B, T, F)."""
+
+    hidden: int
+    num_layers: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        B = x.shape[0]
+        out = x
+        last_h = None
+        for layer in range(self.num_layers):
+            cell = GRUCellTorch(self.hidden, name=f"layer{layer}")
+            carry = jnp.zeros((B, self.hidden), x.dtype)
+            scan = nn.scan(
+                lambda c, carry, inp: c(carry, inp),
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=1,
+                out_axes=1,
+            )
+            last_h, out = scan(cell, carry, out)
+        return out, last_h

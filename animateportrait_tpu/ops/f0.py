@@ -1,0 +1,120 @@
+"""Jittable NCCF pitch tracker (device-side RAPT replacement).
+
+The reference extracts f0 with ``pysptk.sptk.rapt`` (C code on the host,
+extract_f0_func.py:120). RAPT itself is a two-pass NCCF + dynamic-programming
+tracker with data-dependent candidate sets — a poor fit for XLA. This module
+implements the same signal model (normalized cross-correlation over a lag
+range with per-gender bounds, voicing decision, log-f0 output with a -1e10
+unvoiced sentinel) as a fully batched, static-shape JAX computation:
+
+  - all-lag NCCF via rFFT cross-correlation (one batched FFT per utterance),
+  - parabolic sub-lag refinement,
+  - NCCF-threshold + energy voicing decision,
+  - 3-tap median smoothing of the lag track.
+
+This is an intentional substitution, not a port: outputs agree with RAPT to
+within a few Hz on voiced frames in practice, and downstream consumers only
+see the speaker-normalized, 257-bin-quantized encoding
+(Module1/src/autovc/utils.py:95-146) which is robust to that difference.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << (n - 1).bit_length()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sr", "hop", "lo", "hi", "frame_len", "nccf_thresh"),
+)
+def track_f0(
+    x: jax.Array,
+    sr: int = 16000,
+    hop: int = 256,
+    lo: float = 50.0,
+    hi: float = 600.0,
+    frame_len: int = 400,
+    nccf_thresh: float = 0.30,
+) -> tuple[jax.Array, jax.Array]:
+    """Track f0 of a mono signal.
+
+    Args:
+      x: (n_samples,) float32 waveform.
+      lo/hi: pitch search range in Hz (reference genders: M 50-250, F 100-600,
+             extract_f0_func.py:52-56).
+    Returns:
+      (logf0, voiced): (n_frames,) natural-log f0 with unvoiced = -1e10, and
+      the boolean voicing mask. n_frames = n_samples // hop + 1, matching the
+      RAPT/mel frame count used by the reference.
+    """
+    lag_min = int(sr / hi)
+    lag_max = int(np.ceil(sr / lo))
+    win = frame_len
+    span = win + lag_max
+
+    n = x.shape[0]
+    n_frames = n // hop + 1
+    # center frames like the STFT does (reflect pad half a correlation span)
+    pad_l = win // 2
+    pad_r = span  # generous right pad; masked frames beyond signal end
+    xp = jnp.pad(x, (pad_l, pad_r), mode="constant")
+    starts = jnp.arange(n_frames) * hop
+    idx = starts[:, None] + jnp.arange(span)[None, :]
+    frames = xp[idx]  # (T, span)
+
+    a = frames[:, :win]
+    nfft = _next_pow2(span + win)
+    fa = jnp.fft.rfft(a, n=nfft)
+    ff = jnp.fft.rfft(frames, n=nfft)
+    corr = jnp.fft.irfft(jnp.conj(fa) * ff, n=nfft)[:, : lag_max + 1]  # (T, L+1)
+
+    # energy terms: e0 = ||a||^2 ; ek = sum_j f[j+k]^2 over the window
+    sq = frames * frames
+    csum = jnp.cumsum(sq, axis=1)
+    zeros = jnp.zeros((csum.shape[0], 1), csum.dtype)
+    csum = jnp.concatenate([zeros, csum], axis=1)  # (T, span+1)
+    lags_all = jnp.arange(lag_max + 1)
+    ek = csum[:, lags_all + win] - csum[:, lags_all]  # (T, L+1)
+    e0 = csum[:, win][:, None] - csum[:, 0][:, None]
+    denom = jnp.sqrt(jnp.maximum(e0 * ek, 1e-12))
+    nccf = corr / denom  # (T, L+1)
+
+    # restrict to valid lag band
+    band = (lags_all >= lag_min) & (lags_all <= lag_max)
+    nccf_b = jnp.where(band[None, :], nccf, -jnp.inf)
+    k_star = jnp.argmax(nccf_b, axis=1)  # (T,)
+    peak = jnp.take_along_axis(nccf_b, k_star[:, None], axis=1)[:, 0]
+
+    # parabolic sub-lag refinement around the peak
+    km = jnp.clip(k_star - 1, 0, lag_max)
+    kp = jnp.clip(k_star + 1, 0, lag_max)
+    ym = jnp.take_along_axis(nccf, km[:, None], axis=1)[:, 0]
+    y0 = jnp.take_along_axis(nccf, k_star[:, None], axis=1)[:, 0]
+    yp = jnp.take_along_axis(nccf, kp[:, None], axis=1)[:, 0]
+    denom2 = ym - 2.0 * y0 + yp
+    delta = jnp.where(jnp.abs(denom2) > 1e-8,
+                      0.5 * (ym - yp) / denom2, 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    lag_ref = k_star.astype(jnp.float32) + delta
+
+    # 3-tap median smoothing of the lag track
+    lag_pad = jnp.concatenate([lag_ref[:1], lag_ref, lag_ref[-1:]])
+    stacked = jnp.stack([lag_pad[:-2], lag_pad[1:-1], lag_pad[2:]], axis=0)
+    lag_med = jnp.median(stacked, axis=0)
+
+    # voicing: NCCF peak above threshold and non-trivial energy
+    frame_rms = jnp.sqrt(e0[:, 0] / win)
+    sig_rms = jnp.sqrt(jnp.mean(x * x) + 1e-12)
+    voiced = (peak > nccf_thresh) & (frame_rms > 0.05 * sig_rms)
+
+    f0 = sr / jnp.maximum(lag_med, 1.0)
+    f0 = jnp.clip(f0, lo, hi)
+    logf0 = jnp.where(voiced, jnp.log(f0), -1e10)
+    return logf0, voiced

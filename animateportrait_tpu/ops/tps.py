@@ -1,0 +1,238 @@
+"""Polyharmonic-spline (TPS) interpolation and sparse image warping.
+
+TPU-first design notes
+----------------------
+The reference computes its per-frame warp grids on the host with
+``scipy.interpolate.griddata`` (Delaunay piecewise-linear,
+Module2/data/umlvd_ifw_dataset.py:60-74) — its dominant single-threaded CPU
+cost — and fits thin-plate splines with per-item ``torch.solve`` calls
+(Module2/models/sparse_image_warp.py:93-132). Here both become one batched
+on-device pipeline: an (n+d+1)² linear solve per batch item (n=76 control
+points → a 79×79 solve, trivially batched) followed by a dense MXU matmul
+evaluating the spline at all H·W pixels. Replacing griddata's piecewise-linear
+interpolant with the polyharmonic spline is an intentional substitution: it is
+smooth, batched, fully on-device, and numerically close away from triangle
+edges (golden tests bound the difference).
+
+Math parity: Module2/models/sparse_image_warp.py:84-217. ``phi`` operates on
+*squared* distances; order 2 gives phi(d²) = ½ d² log d² = d² log d, the
+classic TPS kernel.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-10
+
+
+def _phi(r2: jax.Array, order: int) -> jax.Array:
+    """Polyharmonic radial basis evaluated on squared distances ``r2``."""
+    if order == 1:
+        return jnp.sqrt(jnp.maximum(r2, _EPS))
+    if order == 2:
+        return 0.5 * r2 * jnp.log(jnp.maximum(r2, _EPS))
+    if order == 4:
+        return 0.5 * jnp.square(r2) * jnp.log(jnp.maximum(r2, _EPS))
+    if order % 2 == 0:
+        r2 = jnp.maximum(r2, _EPS)
+        return 0.5 * jnp.power(r2, 0.5 * order) * jnp.log(r2)
+    r2 = jnp.maximum(r2, _EPS)
+    return jnp.power(r2, 0.5 * order)
+
+
+def _cross_sqdist(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Pairwise squared distances between rows of x (..., n, d) and y (..., m, d).
+
+    Uses the explicit difference form rather than ||x||²-2x·y+||y||²: the
+    matmul form cancels catastrophically in float32/bf16-accumulated matmuls
+    (the log in the TPS kernel then amplifies the error), and with d=2 the
+    matmul buys no MXU time anyway. XLA fuses the subtract/square/reduce.
+    """
+    diff = x[..., :, None, :] - y[..., None, :, :]
+    return jnp.sum(diff * diff, axis=-1)
+
+
+def solve_spline(
+    train_points: jax.Array,
+    train_values: jax.Array,
+    order: int = 2,
+    regularization_weight: float = 0.0,
+) -> tuple[jax.Array, jax.Array]:
+    """Fit a polyharmonic spline; batched.
+
+    Args:
+      train_points: (b, n, d) control-point locations.
+      train_values: (b, n, k) values at the control points.
+    Returns:
+      (w, v): RBF weights (b, n, k) and affine weights (b, d+1, k).
+    """
+    b, n, d = train_points.shape
+    k = train_values.shape[-1]
+    f32 = jnp.float32
+    c = train_points.astype(f32)
+    f = train_values.astype(f32)
+
+    matrix_a = _phi(_cross_sqdist(c, c), order)  # (b, n, n)
+    if regularization_weight > 0.0:
+        matrix_a = matrix_a + regularization_weight * jnp.eye(n, dtype=f32)
+    ones = jnp.ones((b, n, 1), f32)
+    matrix_b = jnp.concatenate([c, ones], axis=2)  # (b, n, d+1)
+
+    left = jnp.concatenate([matrix_a, jnp.swapaxes(matrix_b, 1, 2)], axis=1)
+    right = jnp.concatenate(
+        [matrix_b, jnp.zeros((b, d + 1, d + 1), f32)], axis=1
+    )
+    lhs = jnp.concatenate([left, right], axis=2)  # (b, n+d+1, n+d+1)
+    rhs = jnp.concatenate([f, jnp.zeros((b, d + 1, k), f32)], axis=1)
+
+    sol = jnp.linalg.solve(lhs, rhs)
+    return sol[:, :n, :], sol[:, n:, :]
+
+
+def apply_spline(
+    query_points: jax.Array,
+    train_points: jax.Array,
+    w: jax.Array,
+    v: jax.Array,
+    order: int = 2,
+) -> jax.Array:
+    """Evaluate a fitted spline at ``query_points`` (b, m, d) -> (b, m, k).
+
+    The RBF term is an (m, n) @ (n, k) matmul — MXU work when m = H*W.
+    """
+    f32 = jnp.float32
+    hi = jax.lax.Precision.HIGHEST
+    q = query_points.astype(f32)
+    d2 = _cross_sqdist(q, train_points.astype(f32))
+    rbf = jnp.einsum("...mn,...nk->...mk", _phi(d2, order), w, precision=hi)
+    ones = jnp.ones((*q.shape[:-1], 1), f32)
+    qp = jnp.concatenate([q, ones], axis=-1)
+    linear = jnp.einsum("...md,...dk->...mk", qp, v, precision=hi)
+    return rbf + linear
+
+
+def interpolate_spline(
+    train_points: jax.Array,
+    train_values: jax.Array,
+    query_points: jax.Array,
+    order: int = 2,
+    regularization_weight: float = 1e-6,
+) -> jax.Array:
+    """Fit + evaluate (reference: sparse_image_warp.py:84-91).
+
+    Unlike the reference (which solves the pixel-scale system in float32 with
+    ``torch.solve`` and papers over singularity with a randn-epsilon hack,
+    sparse_image_warp.py:113-116), coordinates are internally normalized to
+    unit scale before the solve: the polyharmonic system at 256-pixel scale is
+    too ill-conditioned for float32, and coincident control points (e.g.
+    closed-mouth lip landmarks) make it exactly singular. Normalization plus a
+    tiny ridge term keeps the solve stable on TPU (float32, no x64).
+    """
+    f32 = jnp.float32
+    tp = train_points.astype(f32)
+    center = jnp.mean(tp, axis=1, keepdims=True)
+    scale = jnp.maximum(jnp.std(tp, axis=(1, 2), keepdims=True), 1e-3)
+    tpn = (tp - center) / scale
+    qpn = (query_points.astype(f32) - center) / scale
+    w, v = solve_spline(tpn, train_values, order, regularization_weight)
+    return apply_spline(qpn, tpn, w, v, order)
+
+
+@functools.partial(jax.jit, static_argnames=("order",))
+def sparse_image_warp(
+    image: jax.Array,
+    source_control_points: jax.Array,
+    dest_control_points: jax.Array,
+    order: int = 2,
+) -> tuple[jax.Array, jax.Array]:
+    """Warp ``image`` so dest control points show source content.
+
+    Reference: Module2/models/sparse_image_warp.py:36-59. Control points are
+    (b, n, 2) in (y, x) pixel coordinates.
+
+    Returns (warped_image (N,H,W,C), dense_flows (N,H,W,2) in (dy, dx)).
+    """
+    from animateportrait_tpu.ops.warp import dense_image_warp
+
+    n, h, w_, c = image.shape
+    flows = dest_control_points - source_control_points
+    gy, gx = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32),
+        jnp.arange(w_, dtype=jnp.float32),
+        indexing="ij",
+    )
+    grid = jnp.stack([gy, gx], axis=-1).reshape(1, h * w_, 2)
+    grid = jnp.broadcast_to(grid, (n, h * w_, 2))
+    flat_flows = interpolate_spline(
+        dest_control_points.astype(jnp.float32),
+        flows.astype(jnp.float32),
+        grid,
+        order,
+    )
+    dense_flows = flat_flows.reshape(n, h, w_, 2)
+    warped = dense_image_warp(image, dense_flows)
+    return warped, dense_flows
+
+
+def _edge_anchors(size: int) -> jnp.ndarray:
+    """Fixed border anchors pinning the warp at the image boundary.
+
+    The reference passes 8 anchors with duplicates to griddata
+    (umlvd_ifw_dataset.py:62: [255,255] three times, [0,255]/[255,0] twice) —
+    harmless for Delaunay interpolation but exactly singular for a spline
+    system, so here the 4 unique corners plus 4 edge midpoints are used.
+    """
+    m = float(size - 1)
+    h = m / 2.0
+    return jnp.array(
+        [[0, 0], [m, m], [0, m], [m, 0], [0, h], [h, 0], [m, h], [h, m]],
+        dtype=jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def motion_grid_from_landmarks(
+    lm_src: jax.Array,
+    lm_dst: jax.Array,
+    size: int = 256,
+) -> jax.Array:
+    """Backward warp grid mapping dst-landmark geometry onto src geometry.
+
+    Device-side replacement for ``cal_motion256``
+    (Module2/data/umlvd_ifw_dataset.py:60-74): the reference interpolates the
+    dst->src correspondence with scipy griddata per frame on the host; we fit
+    a batched TPS instead. Output grid is normalized to [-1, 1]
+    (``map/127.5 - 1`` convention for size=256) in (x, y) order, directly
+    usable by :func:`animateportrait_tpu.ops.warp.grid_sample`.
+
+    Args:
+      lm_src: (b, 68, 2) landmarks of the source frame, (x, y) pixels.
+      lm_dst: (b, 68, 2) landmarks of the target pose, (x, y) pixels.
+    Returns:
+      (b, size, size, 2) normalized sampling grid.
+    """
+    b = lm_src.shape[0]
+    anchors = jnp.broadcast_to(_edge_anchors(size)[None], (b, 8, 2))
+    # work in (y, x) like the reference's griddata call
+    src_yx = lm_src[..., ::-1]
+    dst_yx = lm_dst[..., ::-1]
+    dest = jnp.concatenate([dst_yx, anchors], axis=1)
+    source = jnp.concatenate([src_yx, anchors], axis=1)
+
+    gy, gx = jnp.meshgrid(
+        jnp.linspace(0.0, float(size - 1), size),
+        jnp.linspace(0.0, float(size - 1), size),
+        indexing="ij",
+    )
+    query = jnp.stack([gy, gx], axis=-1).reshape(1, size * size, 2)
+    query = jnp.broadcast_to(query, (b, size * size, 2))
+    mapped = interpolate_spline(dest, source, query, order=2)
+    mapped = mapped.reshape(b, size, size, 2)
+    map_y = mapped[..., 0]
+    map_x = mapped[..., 1]
+    grid = jnp.stack([map_x, map_y], axis=-1)
+    half = (size - 1) / 2.0 + 0.5  # 127.5 for size 256, matching reference
+    return grid / half - 1.0
