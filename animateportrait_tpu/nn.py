@@ -130,8 +130,59 @@ class LSTMCellTorch(nn.Module):
         return (h_new, c_new), h_new
 
 
+class LSTMLayerTorch(nn.Module):
+    """One LSTM direction over (B, T, F), torch param layout.
+
+    TPU-first: the input projection for the whole sequence runs as one
+    (B*T, I) x (I, 4H) matmul on the MXU *outside* the scan; the scan body
+    only does the recurrent (B, H) x (H, 4H) matmul, minimizing sequential
+    work per step.
+    """
+
+    hidden: int
+    reverse: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        B = x.shape[0]
+        input_dim = x.shape[-1]
+        k = 1.0 / jnp.sqrt(self.hidden)
+
+        def unif(key, shape):
+            return jax.random.uniform(key, shape, jnp.float32, -k, k)
+
+        w_ih = self.param("w_ih", unif, (4 * self.hidden, input_dim))
+        w_hh = self.param("w_hh", unif, (4 * self.hidden, self.hidden))
+        b_ih = self.param("b_ih", unif, (4 * self.hidden,))
+        b_hh = self.param("b_hh", unif, (4 * self.hidden,))
+
+        xg = x @ w_ih.T + (b_ih + b_hh)  # (B, T, 4H), one big matmul
+        if self.reverse:
+            xg = jnp.flip(xg, axis=1)
+        w_hh_t = w_hh.T
+
+        def step(carry, xg_t):
+            h, c = carry
+            z = xg_t + h @ w_hh_t
+            i, f, g, o = jnp.split(z, 4, axis=-1)
+            c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+            return (h_new, c_new), h_new
+
+        carry0 = (
+            jnp.zeros((B, self.hidden), x.dtype),
+            jnp.zeros((B, self.hidden), x.dtype),
+        )
+        carry, ys = jax.lax.scan(
+            step, carry0, jnp.swapaxes(xg, 0, 1))
+        ys = jnp.swapaxes(ys, 0, 1)
+        if self.reverse:
+            ys = jnp.flip(ys, axis=1)
+        return ys, carry
+
+
 class LSTM(nn.Module):
-    """(Stacked, optionally bidirectional) LSTM over (B, T, F) via nn.scan.
+    """(Stacked, optionally bidirectional) LSTM over (B, T, F).
 
     Mirrors torch nn.LSTM(batch_first=True): layer l direction d parameters
     live under scope ``layer{l}{_rev}``.
@@ -142,36 +193,15 @@ class LSTM(nn.Module):
     bidirectional: bool = False
 
     @nn.compact
-    def __call__(self, x, init_carry=None):
-        B = x.shape[0]
-
-        def run(cell, xs, reverse=False):
-            carry = (
-                jnp.zeros((B, self.hidden), x.dtype),
-                jnp.zeros((B, self.hidden), x.dtype),
-            )
-            if reverse:
-                xs = jnp.flip(xs, axis=1)
-            scan = nn.scan(
-                lambda c, carry, inp: c(carry, inp),
-                variable_broadcast="params",
-                split_rngs={"params": False},
-                in_axes=1,
-                out_axes=1,
-            )
-            carry, ys = scan(cell, carry, xs)
-            if reverse:
-                ys = jnp.flip(ys, axis=1)
-            return ys, carry
-
+    def __call__(self, x):
         out = x
         final_states = []
         for layer in range(self.num_layers):
-            fwd_cell = LSTMCellTorch(self.hidden, name=f"layer{layer}")
-            ys_f, carry_f = run(fwd_cell, out)
+            ys_f, carry_f = LSTMLayerTorch(
+                self.hidden, name=f"layer{layer}")(out)
             if self.bidirectional:
-                bwd_cell = LSTMCellTorch(self.hidden, name=f"layer{layer}_rev")
-                ys_b, carry_b = run(bwd_cell, out, reverse=True)
+                ys_b, carry_b = LSTMLayerTorch(
+                    self.hidden, reverse=True, name=f"layer{layer}_rev")(out)
                 out = jnp.concatenate([ys_f, ys_b], axis=-1)
                 final_states.append((carry_f, carry_b))
             else:
@@ -209,6 +239,44 @@ class GRUCellTorch(nn.Module):
         return h_new, h_new
 
 
+class GRULayerTorch(nn.Module):
+    """One GRU layer over (B, T, F) with the input projection hoisted out of
+    the scan (same MXU-first structure as LSTMLayerTorch)."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x):
+        B = x.shape[0]
+        input_dim = x.shape[-1]
+        k = 1.0 / jnp.sqrt(self.hidden)
+
+        def unif(key, shape):
+            return jax.random.uniform(key, shape, jnp.float32, -k, k)
+
+        w_ih = self.param("w_ih", unif, (3 * self.hidden, input_dim))
+        w_hh = self.param("w_hh", unif, (3 * self.hidden, self.hidden))
+        b_ih = self.param("b_ih", unif, (3 * self.hidden,))
+        b_hh = self.param("b_hh", unif, (3 * self.hidden,))
+
+        gi = x @ w_ih.T + b_ih  # (B, T, 3H)
+        w_hh_t = w_hh.T
+
+        def step(h, gi_t):
+            gh = h @ w_hh_t + b_hh
+            ir, iz, in_ = jnp.split(gi_t, 3, axis=-1)
+            hr, hz, hn = jnp.split(gh, 3, axis=-1)
+            r = jax.nn.sigmoid(ir + hr)
+            z = jax.nn.sigmoid(iz + hz)
+            n = jnp.tanh(in_ + r * hn)
+            h_new = (1 - z) * n + z * h
+            return h_new, h_new
+
+        h0 = jnp.zeros((B, self.hidden), x.dtype)
+        last_h, ys = jax.lax.scan(step, h0, jnp.swapaxes(gi, 0, 1))
+        return jnp.swapaxes(ys, 0, 1), last_h
+
+
 class GRU(nn.Module):
     """Stacked unidirectional GRU over (B, T, F)."""
 
@@ -217,18 +285,8 @@ class GRU(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        B = x.shape[0]
         out = x
         last_h = None
         for layer in range(self.num_layers):
-            cell = GRUCellTorch(self.hidden, name=f"layer{layer}")
-            carry = jnp.zeros((B, self.hidden), x.dtype)
-            scan = nn.scan(
-                lambda c, carry, inp: c(carry, inp),
-                variable_broadcast="params",
-                split_rngs={"params": False},
-                in_axes=1,
-                out_axes=1,
-            )
-            last_h, out = scan(cell, carry, out)
+            out, last_h = GRULayerTorch(self.hidden, name=f"layer{layer}")(out)
         return out, last_h
