@@ -1,0 +1,187 @@
+"""Audio -> landmark inference engine with the full post-processing chain.
+
+Behavioral equivalent of the reference engine
+(`Module1/src/approaches/train_audio2landmark.py:101-351,594-617`), rebuilt
+so every per-segment step — pos branch, Savitzky-Golay smoothing,
+close-mouth blending, content branch, min-K calibration, inverse-lip fix —
+is one jitted device computation (the reference ping-pongs CPU<->GPU per
+step). The only Python loop is over 512-frame segments, a hard semantic
+boundary because the pos transformer attends over the segment as one
+sequence.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from animateportrait_tpu.models.audio2landmark import (
+    Audio2landmarkContent, Audio2landmarkPos)
+from animateportrait_tpu.ops.filters import savgol_filter
+from animateportrait_tpu.ops.geometry import area_of_signed_polygon
+
+SEG_BS = 512
+NUM_WINDOW_FRAMES = 18
+
+_OUT_UP = jnp.arange(49, 54)          # outer-lip upper arc
+_OUT_LO = jnp.arange(59, 54, -1)      # outer-lip lower arc (reversed pairs)
+_IN_UP = jnp.arange(61, 64)           # inner-lip upper arc
+_IN_LO = jnp.arange(67, 64, -1)       # inner-lip lower arc
+
+
+def sliding_windows(au: np.ndarray, window: int = NUM_WINDOW_FRAMES,
+                    step: int = 1) -> np.ndarray:
+    """(T, 80) -> (T-window, window, 80) stride-1 windows, matching the
+    reference collate (`audio2landmark_dataset.py:63-84`, which drops the
+    final window via ``range(0, T - window)``)."""
+    T = au.shape[0]
+    n = max(0, (T - window + step - 1) // step)
+    idx = np.arange(0, T - window, step)[:, None] + np.arange(window)[None, :]
+    del n
+    return au[idx]
+
+
+def close_mouth_blend(fl: jax.Array, ratio: float = 0.99) -> jax.Array:
+    """Blend upper/lower lip arcs toward their midline
+    (train_audio2landmark.py:118-129). fl: (T, 68, 3)."""
+
+    def blend(f, up, lo):
+        mean = 0.5 * (f[:, up] + f[:, lo])
+        f = f.at[:, up].set(mean * ratio + f[:, up] * (1 - ratio))
+        f = f.at[:, lo].set(mean * ratio + f[:, lo] * (1 - ratio))
+        return f
+
+    fl = blend(fl, _OUT_UP, _OUT_LO)
+    fl = blend(fl, _IN_UP, _IN_LO)
+    return fl
+
+
+def calibrate_content(baseline: jax.Array, amp_lip_x: float,
+                      amp_lip_y: float, ratio: float = 0.5) -> jax.Array:
+    """Per-coordinate min-K de-biasing + lip amplification
+    (train_audio2landmark.py:235-245). baseline: (T, 204)."""
+    T = baseline.shape[0]
+    K = int(T * ratio)
+    smallest = jnp.sort(baseline, axis=0)[:K]
+    m = jnp.mean(smallest, axis=0, keepdims=True)
+    out = baseline - m
+    lip = jnp.arange(48, 68)
+    out = out.at[:, lip * 3].multiply(amp_lip_x)
+    out = out.at[:, lip * 3 + 1].multiply(amp_lip_y)
+    return out
+
+
+def _inverse_lip_fix_frame(cur: jax.Array, prev: jax.Array) -> jax.Array:
+    """Apply the reference's mouth-inversion fix to one (204,) frame given
+    the (already fixed) previous frame (train_audio2landmark.py:594-617)."""
+    fls = cur.reshape(68, 3)
+    area = area_of_signed_polygon(fls[60:68, 0:2])
+
+    def fix(c):
+        f = c.reshape(68, 3)
+        # swap-collapse inner lip pairs 63<->65, 62<->66, 61<->67
+        for up, lo in ((63, 65), (62, 66), (61, 67)):
+            mean = 0.5 * (f[up] + f[lo])
+            f = f.at[lo].set(mean)
+            f = f.at[up].set(mean)
+        p = prev.reshape(68, 3)
+        # y-only transfers keyed to the previous frame
+        f = f.at[jnp.arange(55, 59), 1].set(
+            f[jnp.arange(64, 68), 1] + p[jnp.arange(55, 59), 1]
+            - p[jnp.arange(64, 68), 1])
+        f = f.at[59, 1].set(f[60, 1] + p[59, 1] - p[60, 1])
+        f = f.at[jnp.arange(49, 54), 1].set(
+            f[jnp.arange(60, 65), 1] + p[jnp.arange(49, 54), 1]
+            - p[jnp.arange(60, 65), 1])
+        return f.reshape(204)
+
+    return jax.lax.cond(area < 0, fix, lambda c: c, cur)
+
+
+def solve_inverse_lip(fl: jax.Array) -> jax.Array:
+    """Sequential mouth-inversion fix over a (T, 204) segment via lax.scan.
+
+    Frame 0 references itself (reference's ``p = max(j-1, 0)``): its y
+    transfers are no-ops, so only the swap-collapse is applied; the scan
+    then carries each *fixed* frame as the next frame's reference.
+    """
+    first = _inverse_lip_fix_frame(fl[0], fl[0])
+
+    def step(prev, cur):
+        fixed = _inverse_lip_fix_frame(cur, prev)
+        return fixed, fixed
+
+    _, rest = jax.lax.scan(step, first, fl[1:])
+    return jnp.concatenate([first[None], rest], axis=0)
+
+
+def revise_nose_top(fl: jax.Array) -> jax.Array:
+    """Extrapolate nose-top point 27 from 28/29
+    (train_audio2landmark.py:304). fl: (T, 204)."""
+    return fl.at[:, 27 * 3: 28 * 3].set(
+        fl[:, 28 * 3: 29 * 3] * 2 - fl[:, 29 * 3: 30 * 3])
+
+
+class LandmarkPredictor:
+    """Drives the pos (G) and content (C) branches over audio windows.
+
+    Args mirror the reference driver defaults (`main_end2end_module2.py`
+    argparse): amp_pos=0.5, amp_lip_x=amp_lip_y=2.0.
+    """
+
+    def __init__(self, pos_variables, content_variables,
+                 amp_pos: float = 0.5, amp_lip_x: float = 2.0,
+                 amp_lip_y: float = 2.0):
+        self.pos_variables = pos_variables
+        self.content_variables = content_variables
+        self.amp_pos = amp_pos
+        self.amp_lip_x = amp_lip_x
+        self.amp_lip_y = amp_lip_y
+        self._G = Audio2landmarkPos()
+        self._C = Audio2landmarkContent()
+        self._segment_jit = jax.jit(
+            self._segment, static_argnames=("smooth_win",))
+
+    def _segment(self, aus, embs, face_id, smooth_win=31):
+        """One <=512-frame segment: everything on device."""
+        T = aus.shape[0]
+        z = jnp.zeros((T, 128), jnp.float32)
+        fl_dis, _, _ = self._G.apply(
+            self.pos_variables, aus, embs * 3.0, face_id, z)
+        smooth_len = min(T - 1, smooth_win) // 2 * 2 + 1
+        fl_dis = savgol_filter(fl_dis, smooth_len, 3, axis=0)
+        fl_dis = close_mouth_blend(fl_dis.reshape(-1, 68, 3)).reshape(-1, 204)
+        fl_dis = fl_dis * self.amp_pos
+
+        baseline, _ = self._C.apply(
+            self.content_variables, aus[:, 0:NUM_WINDOW_FRAMES, :], face_id)
+        baseline = calibrate_content(
+            baseline, self.amp_lip_x, self.amp_lip_y)
+        fl = fl_dis + baseline + face_id[0:1]
+        return solve_inverse_lip(fl)
+
+    def __call__(self, au_windows: np.ndarray, emb: np.ndarray,
+                 face_id: np.ndarray) -> np.ndarray:
+        """au_windows (T, 18, 80), emb (256,), face_id (1, 204) -> (T, 204).
+
+        Segments of 512 windows; trailing segments shorter than 10 frames
+        are dropped, as in the reference (:284-285).
+        """
+        aus = jnp.asarray(au_windows, jnp.float32)
+        face_id = jnp.asarray(face_id, jnp.float32).reshape(1, 204)
+        T = aus.shape[0]
+        emb_t = jnp.broadcast_to(
+            jnp.asarray(emb, jnp.float32)[None, :], (T, emb.shape[-1]))
+
+        outs = []
+        for j in range(0, T, SEG_BS):
+            seg = aus[j: j + SEG_BS]
+            if seg.shape[0] < 10:
+                continue
+            outs.append(self._segment_jit(
+                seg, emb_t[j: j + SEG_BS], face_id))
+        fl = jnp.concatenate(outs, axis=0)
+        fl = revise_nose_top(fl)
+        fl = savgol_filter(fl, 5, 3, axis=0)
+        return np.asarray(fl)
