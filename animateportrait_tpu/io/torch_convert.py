@@ -28,15 +28,18 @@ def conv1d_kernel(w: np.ndarray) -> np.ndarray:
 
 
 def conv_transpose2d_kernel(w: np.ndarray) -> np.ndarray:
-    """torch ConvTranspose2d weight IOHW -> flax HWIO (gradient-style).
+    """torch ConvTranspose2d weight (I, O, H, W) -> our ConvTranspose2dTorch
+    kernel (H, W, O, I) for lax.conv_transpose(transpose_kernel=True) —
+    no spatial flip; transpose_kernel handles the gradient formulation."""
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))
 
-    flax nn.ConvTranspose computes conv_transpose with kernel (H, W, I, O);
-    torch stores (in, out, H, W) and flips spatial taps relative to the
-    gradient formulation, so flip H/W here.
-    """
-    w = np.asarray(w)
-    w = w[:, :, ::-1, ::-1]
-    return np.transpose(w, (2, 3, 0, 1))
+
+def conv_transpose2d(sd: Mapping[str, Any], name: str, bias: bool = True
+                     ) -> dict:
+    p = {"kernel": conv_transpose2d_kernel(sd[f"{name}.weight"])}
+    if bias:
+        p["bias"] = np.asarray(sd[f"{name}.bias"])
+    return p
 
 
 def linear_kernel(w: np.ndarray) -> np.ndarray:

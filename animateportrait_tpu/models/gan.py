@@ -1,0 +1,471 @@
+"""Module2 GAN network zoo, TPU-native (NHWC flax).
+
+Behavioral reimplementation of the reference generators/discriminators in
+`Module2/models/networks.py`:
+
+- ``ResnetGenerator``            (resnet_9blocks, :509-571)
+- ``ResnetStyle2Generator``      (static photo->drawing net, :573-637)
+- ``TridentGeneratorFullIFW``    (resnet_9blocks_rcatland32_full_ifw,
+                                  :1190-1340) — the shipped main generator
+- ``NLayerDiscriminator``        (70x70 PatchGAN, :2602-2647)
+- ``PixelDiscriminator``         (:2720-2749)
+- ``gan_loss``                   (GANLoss lsgan/vanilla/wgangp, :407-473)
+
+All norm layers are torch InstanceNorm2d(affine=False) per the options
+default (`base_options.py:37`), so they carry no parameters and checkpoint
+conversion touches convs only. The trident generator's double feature
+warping preserves the reference's mixed align_corners conventions
+(grid_sample align_corners=False at :1311; bilinear motion/flow resizes
+align_corners=True at :1297-1306).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from animateportrait_tpu.nn import (
+    ConvTranspose2dTorch, InstanceNorm, interpolate_bilinear,
+    reflect_pad_2d, replicate_pad_2d)
+from animateportrait_tpu.ops.warp import grid_sample, warp_acc_flow
+
+
+def _pad(x, pad, padding_type):
+    if padding_type == "reflect":
+        return reflect_pad_2d(x, pad)
+    if padding_type == "replicate":
+        return replicate_pad_2d(x, pad)
+    raise ValueError(padding_type)
+
+
+class ConvINReLU(nn.Module):
+    """Conv -> InstanceNorm -> (optional ReLU), 'zero' torch padding."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: int = 1
+    relu: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=self.stride, padding=self.padding,
+                    name="conv")(x)
+        x = InstanceNorm()(x)
+        return nn.relu(x) if self.relu else x
+
+
+class StemConv7(nn.Module):
+    """ReflectionPad(3) + Conv7x7 + IN + ReLU stem."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = reflect_pad_2d(x, 3)
+        x = nn.Conv(self.features, (7, 7), padding=0, name="conv")(x)
+        return nn.relu(InstanceNorm()(x))
+
+
+class ResnetBlock(nn.Module):
+    """Reference ResnetBlock (networks.py:2303-2361)."""
+
+    dim: int
+    padding_type: str = "reflect"
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        pad = (self.kernel - 1) // 2
+        y = _pad(x, pad, self.padding_type)
+        y = nn.Conv(self.dim, (self.kernel, self.kernel), padding=0,
+                    name="conv0")(y)
+        y = nn.relu(InstanceNorm()(y))
+        y = _pad(y, pad, self.padding_type)
+        y = nn.Conv(self.dim, (self.kernel, self.kernel), padding=0,
+                    name="conv1")(y)
+        y = InstanceNorm()(y)
+        return x + y
+
+
+class ResnetBlock2(nn.Module):
+    """Reference ResnetBlock2 with conv shortcut (networks.py:2363-2421)."""
+
+    dim_out: int
+    padding_type: str = "reflect"
+
+    @nn.compact
+    def __call__(self, x):
+        y = _pad(x, 1, self.padding_type)
+        y = nn.Conv(self.dim_out, (3, 3), padding=0, name="conv0")(y)
+        y = nn.relu(InstanceNorm()(y))
+        y = _pad(y, 1, self.padding_type)
+        y = nn.Conv(self.dim_out, (3, 3), padding=0, name="conv1")(y)
+        y = InstanceNorm()(y)
+        s = nn.Conv(self.dim_out, (3, 3), padding=1, name="shortcut")(x)
+        s = InstanceNorm()(s)
+        return s + y
+
+
+class Upsample2x(nn.Module):
+    """ConvTranspose(k3, s2, p1, op1) + IN + ReLU."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = ConvTranspose2dTorch(self.features, name="deconv")(x)
+        return nn.relu(InstanceNorm()(x))
+
+
+class ResnetGenerator(nn.Module):
+    """Plain resnet_9blocks generator (networks.py:509-571)."""
+
+    output_nc: int = 3
+    ngf: int = 64
+    n_blocks: int = 9
+    padding_type: str = "reflect"
+
+    @nn.compact
+    def __call__(self, x):
+        x = StemConv7(self.ngf, name="stem")(x)
+        for i in range(2):
+            mult = 2 ** i
+            x = ConvINReLU(self.ngf * mult * 2, stride=2,
+                           name=f"down{i}")(x)
+        for i in range(self.n_blocks):
+            x = ResnetBlock(self.ngf * 4, self.padding_type,
+                            name=f"block{i}")(x)
+        for i in range(2):
+            mult = 2 ** (2 - i)
+            x = Upsample2x(self.ngf * mult // 2, name=f"up{i}")(x)
+        x = reflect_pad_2d(x, 3)
+        x = nn.Conv(self.output_nc, (7, 7), padding=0, name="out")(x)
+        return jnp.tanh(x)
+
+
+class ResnetStyle2Generator(nn.Module):
+    """Static stylization net with style injected at the bottleneck
+    (networks.py:573-637). __call__(photo, style_map)."""
+
+    output_nc: int = 1
+    ngf: int = 64
+    n_blocks: int = 9
+    extra_channel: int = 3
+    model0_res: int = 0
+    padding_type: str = "reflect"
+
+    @nn.compact
+    def __call__(self, x, style):
+        x = StemConv7(self.ngf, name="stem")(x)
+        for i in range(2):
+            mult = 2 ** i
+            x = ConvINReLU(self.ngf * mult * 2, stride=2,
+                           name=f"down{i}")(x)
+        for i in range(self.model0_res):
+            x = ResnetBlock(self.ngf * 4, self.padding_type,
+                            name=f"block0_{i}")(x)
+        x = jnp.concatenate([x, style], axis=-1)
+        x = ConvINReLU(self.ngf * 4, name="merge")(x)
+        for i in range(self.n_blocks - self.model0_res):
+            x = ResnetBlock(self.ngf * 4, self.padding_type,
+                            name=f"block{i}")(x)
+        for i in range(2):
+            mult = 2 ** (2 - i)
+            x = Upsample2x(self.ngf * mult // 2, name=f"up{i}")(x)
+        x = reflect_pad_2d(x, 3)
+        x = nn.Conv(self.output_nc, (7, 7), padding=0, name="out")(x)
+        return jnp.tanh(x)
+
+
+class LandmarkEncoder(nn.Module):
+    """model_landmark_trans: 1ch landmark image -> 16ch at 1/4 res
+    (networks.py:1284-1286)."""
+
+    con_dim: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        x = ConvINReLU(8, name="conv0")(x)
+        x = ConvINReLU(self.con_dim, stride=2, name="conv1")(x)
+        return ConvINReLU(self.con_dim, stride=2, relu=False,
+                          name="conv2")(x)
+
+
+def double_feature_warping(x, motion, flow, ifmask, level):
+    """Warp features by BOTH the TPS motion grid and the intrinsic flow,
+    concatenating the two warped copies (networks.py:1296-1313). NHWC.
+
+    motion: (N, Hm, Wm, 2) normalized grid; flow: (N, Hf, Wf, 2) pixel flow
+    at full res; ifmask: (N, Hf, Wf, 1).
+    """
+    if level > 0:
+        size = x.shape[1:3]
+        scale = 2 ** level
+        motion = interpolate_bilinear(motion, size, align_corners=True)
+        flow = interpolate_bilinear(flow / scale, size, align_corners=True)
+        ifmask = interpolate_bilinear(ifmask, size, align_corners=True)
+    x1 = grid_sample(x, motion, align_corners=False)
+    x2 = warp_acc_flow(x, flow, mask=ifmask)
+    return jnp.concatenate([x1, x2], axis=-1)
+
+
+class TridentGeneratorFullIFW(nn.Module):
+    """resnet_9blocks_rcatland32_full_ifw (networks.py:1190-1340).
+
+    Three encoder branches warp their features at depths 0/1/2 respectively
+    (each warp doubles channels by concatenating TPS-warped and
+    flow-warped copies), merge at 1/4 resolution into ngf*4, run n_blocks
+    ResNet blocks where every (i+disp) % div == 0 block is a ResnetBlock2
+    additionally conditioned on source+target landmark encodings, then
+    upsample to the output.
+
+    __call__(input, land1, land2, motion, flow, ifmask), all NHWC;
+    motion is the normalized TPS grid (N,256,256,2), flow the intrinsic
+    flow in pixels (N,256,256,2), ifmask its visibility mask (N,256,256,1).
+    """
+
+    output_nc: int = 3
+    ngf: int = 64
+    n_blocks: int = 9
+    div: int = 3
+    disp: int = 1
+    padding_type: str = "reflect"
+
+    @nn.compact
+    def __call__(self, x_in, land1, land2, motion, flow, ifmask):
+        ngf = self.ngf
+        # branch 1: warp at full res right after the stem
+        x1 = StemConv7(ngf // 2, name="tri00")(x_in)
+        x1 = double_feature_warping(x1, motion, flow, ifmask, 0)
+        x1 = ConvINReLU(ngf * 2, stride=2, name="tri01")(x1)
+        x1 = ConvINReLU(ngf * 4, stride=2, name="tri02")(x1)
+        # branch 2: warp at 1/2 res
+        x2 = StemConv7(ngf, name="tri10")(x_in)
+        x2 = ConvINReLU(ngf, stride=2, name="tri11")(x2)
+        x2 = double_feature_warping(x2, motion, flow, ifmask, 1)
+        x2 = ConvINReLU(ngf * 4, stride=2, name="tri12")(x2)
+        # branch 3: warp at 1/4 res
+        x3 = StemConv7(ngf, name="tri20")(x_in)
+        x3 = ConvINReLU(ngf * 2, stride=2, name="tri21")(x3)
+        x3 = ConvINReLU(ngf * 2, stride=2, name="tri22")(x3)
+        x3 = double_feature_warping(x3, motion, flow, ifmask, 2)
+
+        x = jnp.concatenate([x1, x2, x3], axis=-1)
+        x = nn.Conv(ngf * 4, (3, 3), padding=1, name="merge")(x)
+
+        lenc = LandmarkEncoder(name="landmark_trans")
+        l1, l2 = lenc(land1), lenc(land2)
+
+        for i in range(self.n_blocks):
+            if (i + self.disp) % self.div == 0:
+                x = ResnetBlock2(ngf * 4, self.padding_type,
+                                 name=f"block{i}")(
+                    jnp.concatenate([x, l1, l2], axis=-1))
+            else:
+                x = ResnetBlock(ngf * 4, self.padding_type,
+                                name=f"block{i}")(x)
+
+        x = Upsample2x(ngf * 2, name="up0")(x)
+        x = Upsample2x(ngf, name="up1")(x)
+        x = reflect_pad_2d(x, 3)
+        x = nn.Conv(self.output_nc, (7, 7), padding=0, name="out")(x)
+        return jnp.tanh(x)
+
+
+class NLayerDiscriminator(nn.Module):
+    """70x70 PatchGAN (networks.py:2602-2647): C64(no norm) - C128 - C256 -
+    C512(stride 1) - 1ch, LeakyReLU 0.2, InstanceNorm."""
+
+    ndf: int = 64
+    n_layers: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        kw, padw = 4, 1
+        x = nn.Conv(self.ndf, (kw, kw), strides=2, padding=padw,
+                    name="conv0")(x)
+        x = nn.leaky_relu(x, 0.2)
+        nf_mult = 1
+        for n in range(1, self.n_layers):
+            nf_mult = min(2 ** n, 8)
+            x = nn.Conv(self.ndf * nf_mult, (kw, kw), strides=2,
+                        padding=padw, name=f"conv{n}")(x)
+            x = nn.leaky_relu(InstanceNorm()(x), 0.2)
+        nf_mult = min(2 ** self.n_layers, 8)
+        x = nn.Conv(self.ndf * nf_mult, (kw, kw), strides=1, padding=padw,
+                    name=f"conv{self.n_layers}")(x)
+        x = nn.leaky_relu(InstanceNorm()(x), 0.2)
+        return nn.Conv(1, (kw, kw), strides=1, padding=padw, name="out")(x)
+
+
+class PixelDiscriminator(nn.Module):
+    """1x1 PatchGAN (networks.py:2720-2749)."""
+
+    ndf: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.leaky_relu(
+            nn.Conv(self.ndf, (1, 1), name="conv0")(x), 0.2)
+        x = nn.Conv(self.ndf * 2, (1, 1), use_bias=True, name="conv1")(x)
+        x = nn.leaky_relu(InstanceNorm()(x), 0.2)
+        return nn.Conv(1, (1, 1), name="out")(x)
+
+
+def gan_loss(prediction: jax.Array, target_is_real: bool,
+             mode: str = "lsgan") -> jax.Array:
+    """GANLoss (networks.py:407-473): lsgan=MSE vs 1/0, vanilla=BCE-with-
+    logits, wgangp=signed mean."""
+    if mode == "lsgan":
+        target = 1.0 if target_is_real else 0.0
+        return jnp.mean(jnp.square(prediction - target))
+    if mode == "vanilla":
+        target = jnp.ones_like(prediction) if target_is_real else (
+            jnp.zeros_like(prediction))
+        return jnp.mean(
+            jnp.maximum(prediction, 0) - prediction * target
+            + jnp.log1p(jnp.exp(-jnp.abs(prediction))))
+    if mode == "wgangp":
+        return -jnp.mean(prediction) if target_is_real else (
+            jnp.mean(prediction))
+    raise ValueError(mode)
+
+
+# --- torch checkpoint converters --------------------------------------------
+
+
+def _cinr(sd, tc, name):
+    return {"conv": tc.conv2d(sd, name)}
+
+
+def _stem(sd, tc, name):
+    return {"conv": tc.conv2d(sd, name)}
+
+
+def _block(sd, tc, prefix):
+    return {"conv0": tc.conv2d(sd, f"{prefix}.conv_block.1"),
+            "conv1": tc.conv2d(sd, f"{prefix}.conv_block.5")}
+
+
+def _block2(sd, tc, prefix):
+    return {"conv0": tc.conv2d(sd, f"{prefix}.conv_block.1"),
+            "conv1": tc.conv2d(sd, f"{prefix}.conv_block.5"),
+            "shortcut": tc.conv2d(sd, f"{prefix}.shortcut.0")}
+
+
+def load_trident_full_ifw_params(sd, n_blocks: int = 9, div: int = 3,
+                                 disp: int = 1) -> dict:
+    """Reference `<epoch>_net_G_A.pth` -> TridentGeneratorFullIFW params."""
+    from animateportrait_tpu.io import torch_convert as tc
+
+    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+    p: dict = {}
+    p["tri00"] = _stem(sd, tc, "model_tri00.1")
+    p["tri01"] = _cinr(sd, tc, "model_tri01.0")
+    p["tri02"] = _cinr(sd, tc, "model_tri02.0")
+    p["tri10"] = _stem(sd, tc, "model_tri10.1")
+    p["tri11"] = _cinr(sd, tc, "model_tri11.0")
+    p["tri12"] = _cinr(sd, tc, "model_tri12.0")
+    p["tri20"] = _stem(sd, tc, "model_tri20.1")
+    p["tri21"] = _cinr(sd, tc, "model_tri21.0")
+    p["tri22"] = _cinr(sd, tc, "model_tri22.0")
+    p["merge"] = tc.conv2d(sd, "model_tri_merge")
+    p["landmark_trans"] = {
+        "conv0": _cinr(sd, tc, "model_landmark_trans.0"),
+        "conv1": _cinr(sd, tc, "model_landmark_trans.3"),
+        "conv2": _cinr(sd, tc, "model_landmark_trans.6"),
+    }
+    for i in range(n_blocks):
+        if (i + disp) % div == 0:
+            p[f"block{i}"] = _block2(sd, tc, f"model2.{i}")
+        else:
+            p[f"block{i}"] = _block(sd, tc, f"model2.{i}")
+    p["up0"] = {"deconv": tc.conv_transpose2d(sd, "model3.0")}
+    p["up1"] = {"deconv": tc.conv_transpose2d(sd, "model3.3")}
+    p["out"] = tc.conv2d(sd, "model3.7")
+    return {"params": p}
+
+
+def load_style2_params(sd, n_blocks: int = 9, model0_res: int = 0) -> dict:
+    """Reference `checkpoints/static/drawing.pth` -> ResnetStyle2Generator."""
+    from animateportrait_tpu.io import torch_convert as tc
+
+    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+    p: dict = {
+        "stem": _stem(sd, tc, "model0.1"),
+        "down0": _cinr(sd, tc, "model0.4"),
+        "down1": _cinr(sd, tc, "model0.7"),
+        "merge": _cinr(sd, tc, "model.0"),
+    }
+    for i in range(model0_res):
+        p[f"block0_{i}"] = _block(sd, tc, f"model0.{10 + i}")
+    nb = n_blocks - model0_res
+    for i in range(nb):
+        p[f"block{i}"] = _block(sd, tc, f"model.{3 + i}")
+    p["up0"] = {"deconv": tc.conv_transpose2d(sd, f"model.{3 + nb}")}
+    p["up1"] = {"deconv": tc.conv_transpose2d(sd, f"model.{6 + nb}")}
+    p["out"] = tc.conv2d(sd, f"model.{10 + nb}")
+    return {"params": p}
+
+
+def load_nlayer_d_params(sd, n_layers: int = 3) -> dict:
+    """Reference `<epoch>_net_D_*.pth` -> NLayerDiscriminator params.
+
+    torch Sequential indices: conv0 at 0, then convs at 2, 5, ... (conv,
+    norm, leaky triplets), final at the end.
+    """
+    from animateportrait_tpu.io import torch_convert as tc
+
+    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+    p = {"conv0": tc.conv2d(sd, "model.0")}
+    idx = 2
+    for n in range(1, n_layers + 1):
+        p[f"conv{n}"] = tc.conv2d(sd, f"model.{idx}")
+        idx += 3
+    p["out"] = tc.conv2d(sd, f"model.{idx}")
+    return {"params": p}
+
+
+def load_resnet_g_params(sd, n_blocks: int = 9) -> dict:
+    """Reference plain ResnetGenerator state dict -> params."""
+    from animateportrait_tpu.io import torch_convert as tc
+
+    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+    p: dict = {"stem": _stem(sd, tc, "model.1"),
+               "down0": _cinr(sd, tc, "model.4"),
+               "down1": _cinr(sd, tc, "model.7")}
+    for i in range(n_blocks):
+        p[f"block{i}"] = _block(sd, tc, f"model.{10 + i}")
+    base = 10 + n_blocks
+    p["up0"] = {"deconv": tc.conv_transpose2d(sd, f"model.{base}")}
+    p["up1"] = {"deconv": tc.conv_transpose2d(sd, f"model.{base + 3}")}
+    p["out"] = tc.conv2d(sd, f"model.{base + 7}")
+    return {"params": p}
+
+
+def init_weights_normal(params, rng: np.random.Generator | None = None,
+                        gain: float = 0.02):
+    """'normal' init (networks.py:71-102): conv/linear weights ~ N(0, 0.02),
+    biases 0 — applied when training from scratch to match the reference."""
+    if rng is None:
+        rng = np.random.default_rng(0)
+
+    def visit(tree):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out[k] = visit(v)
+            elif k in ("kernel",):
+                out[k] = rng.normal(0.0, gain, v.shape).astype(np.float32)
+            elif k in ("bias",):
+                out[k] = np.zeros(v.shape, np.float32)
+            else:
+                out[k] = v
+        return out
+
+    return jax.tree_util.tree_map(
+        jnp.asarray, visit(jax.tree_util.tree_map(np.asarray, params)))

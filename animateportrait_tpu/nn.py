@@ -101,6 +101,61 @@ def replicate_pad_2d(x, pad: int):
     return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
 
 
+class ConvTranspose2dTorch(nn.Module):
+    """torch ConvTranspose2d(k=3, s=2, p=1, output_padding=1) semantics, NHWC.
+
+    Implemented via lax.conv_transpose with explicit padding
+    ((k-1-p, k-1-p+output_padding), ...) and transpose_kernel=True so
+    converted torch weights (IOHW -> HWIO without flipping) apply directly.
+    """
+
+    features: int
+    kernel: int = 3
+    stride: int = 2
+    padding: int = 1
+    output_padding: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        k = self.kernel
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (k, k, self.features, in_ch))  # HWOI: transpose_kernel layout
+        lo = k - 1 - self.padding
+        hi = k - 1 - self.padding + self.output_padding
+        y = jax.lax.conv_transpose(
+            x, kernel,
+            strides=(self.stride, self.stride),
+            padding=((lo, hi), (lo, hi)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            transpose_kernel=True,
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,))
+            y = y + bias
+        return y
+
+
+def interpolate_bilinear(x, size, align_corners: bool = False):
+    """torch F.interpolate(mode='bilinear') for NHWC input."""
+    N, H, W, C = x.shape
+    Ho, Wo = size
+    if align_corners:
+        ys = jnp.linspace(0.0, H - 1.0, Ho)
+        xs = jnp.linspace(0.0, W - 1.0, Wo)
+    else:
+        ys = (jnp.arange(Ho) + 0.5) * (H / Ho) - 0.5
+        xs = (jnp.arange(Wo) + 0.5) * (W / Wo) - 0.5
+    iy = jnp.broadcast_to(ys[:, None], (Ho, Wo))[None].repeat(N, axis=0)
+    ix = jnp.broadcast_to(xs[None, :], (Ho, Wo))[None].repeat(N, axis=0)
+    from animateportrait_tpu.ops.warp import sample_bilinear
+
+    return sample_bilinear(x, iy, ix, padding_mode="border")
+
+
 class LSTMCellTorch(nn.Module):
     """LSTM cell with torch gate order (i, f, g, o) and torch param layout.
 
