@@ -140,3 +140,12 @@ def load_torch_statedict(path: str) -> dict[str, np.ndarray]:
         for k, v in obj.items()
         if hasattr(v, "detach") or isinstance(v, np.ndarray)
     }
+
+
+def strip_module_prefix(sd: Mapping[str, Any]) -> dict:
+    """Remove a leading DataParallel 'module.' from each key (and only a
+    leading one — inner names like 'submodule.' must survive)."""
+    return {
+        (k[len("module."):] if k.startswith("module.") else k): v
+        for k, v in sd.items()
+    }

@@ -321,7 +321,7 @@ def load_content_params(sd) -> dict:
     """
     from animateportrait_tpu.io import torch_convert as tc
 
-    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+    sd = tc.strip_module_prefix(sd)
     params = {
         "prior_l0": tc.dense(sd, "fc_prior.0"),
         "prior_l1": tc.dense(sd, "fc_prior.3"),
@@ -368,7 +368,7 @@ def load_pos_params(sd) -> dict:
     `train_audio2landmark.py:62-66`)."""
     from animateportrait_tpu.io import torch_convert as tc
 
-    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+    sd = tc.strip_module_prefix(sd)
     params = {
         "audio_content_encoder": tc.lstm_params(
             sd, "audio_content_encoder.", 3),

@@ -111,7 +111,7 @@ def load_autovc_params(sd) -> dict:
     'model' key and 'module.' prefixes) to this module's param tree."""
     from animateportrait_tpu.io import torch_convert as tc
 
-    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+    sd = tc.strip_module_prefix(sd)
     enc: dict = {}
     for i in range(3):
         enc[f"conv{i}"] = tc.conv1d(sd, f"encoder.convolutions.{i}.0.conv")

@@ -362,7 +362,7 @@ def load_trident_full_ifw_params(sd, n_blocks: int = 9, div: int = 3,
     """Reference `<epoch>_net_G_A.pth` -> TridentGeneratorFullIFW params."""
     from animateportrait_tpu.io import torch_convert as tc
 
-    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+    sd = tc.strip_module_prefix(sd)
     p: dict = {}
     p["tri00"] = _stem(sd, tc, "model_tri00.1")
     p["tri01"] = _cinr(sd, tc, "model_tri01.0")
@@ -394,7 +394,7 @@ def load_style2_params(sd, n_blocks: int = 9, model0_res: int = 0) -> dict:
     """Reference `checkpoints/static/drawing.pth` -> ResnetStyle2Generator."""
     from animateportrait_tpu.io import torch_convert as tc
 
-    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+    sd = tc.strip_module_prefix(sd)
     p: dict = {
         "stem": _stem(sd, tc, "model0.1"),
         "down0": _cinr(sd, tc, "model0.4"),
@@ -420,7 +420,7 @@ def load_nlayer_d_params(sd, n_layers: int = 3) -> dict:
     """
     from animateportrait_tpu.io import torch_convert as tc
 
-    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+    sd = tc.strip_module_prefix(sd)
     p = {"conv0": tc.conv2d(sd, "model.0")}
     idx = 2
     for n in range(1, n_layers + 1):
@@ -434,7 +434,7 @@ def load_resnet_g_params(sd, n_blocks: int = 9) -> dict:
     """Reference plain ResnetGenerator state dict -> params."""
     from animateportrait_tpu.io import torch_convert as tc
 
-    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+    sd = tc.strip_module_prefix(sd)
     p: dict = {"stem": _stem(sd, tc, "model.1"),
                "down0": _cinr(sd, tc, "model.4"),
                "down1": _cinr(sd, tc, "model.7")}
