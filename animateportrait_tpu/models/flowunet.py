@@ -39,14 +39,19 @@ class PredictFlow(nn.Module):
 
 
 class FlowUnet(nn.Module):
-    """FlowUnet with start_scale=2, num_scale=5, nf=16, max_nf=512.
+    """FlowUnet with start_scale=2, nf=16, max_nf=512.
+
+    num_scale defaults to 4: the reference constructor's default of 5 cannot
+    run on the 224x224 keypoint maps the pipeline feeds it (112 is not
+    divisible by 32 — the torch code errors on the skip concat), so the
+    shipped FlowReg checkpoint's train_opt must use 4 scales.
 
     __call__(x: (N, 224, 224, input_nc)) ->
         (flow (N,224,224,2), vis (N,224,224,3), flow_pyramid, feat)
     """
 
     nf: int = 16
-    num_scale: int = 5
+    num_scale: int = 4
     max_nf: int = 512
 
     @nn.compact
@@ -150,7 +155,7 @@ class FlowNetworkWarp:
                          jnp.asarray(lm2, jnp.float32)[None])
 
 
-def load_flowunet_params(sd, num_scale: int = 5) -> dict:
+def load_flowunet_params(sd, num_scale: int = 4) -> dict:
     """Reference `best_net_netF.pth` -> FlowUnet variables.
 
     torch names: conv_downsample.{0,1,3,4}; nested

@@ -82,6 +82,50 @@ def sample_bilinear(
     return top * (1 - wy) + bot * wy
 
 
+def sample_bicubic(
+    img: jax.Array,
+    iy: jax.Array,
+    ix: jax.Array,
+) -> jax.Array:
+    """Bicubic sampling of ``img`` (N,H,W,C) at pixel coords, torch
+    semantics (a=-0.75, border-clamped taps like align_corners resize)."""
+    N, H, W, C = img.shape
+    a = -0.75
+    y0 = jnp.floor(iy)
+    x0 = jnp.floor(ix)
+    ty = (iy - y0)[..., None].astype(img.dtype)
+    tx = (ix - x0)[..., None].astype(img.dtype)
+
+    def cubic(t):
+        t2, t3 = t * t, t * t * t
+        wm1 = a * (t3 - 2 * t2 + t)
+        w0 = (a + 2) * t3 - (a + 3) * t2 + 1
+        w1 = -(a + 2) * t3 + (2 * a + 3) * t2 - a * t
+        w2 = a * (t2 - t3)
+        return wm1, w0, w1, w2
+
+    wy = cubic(ty)
+    wx = cubic(tx)
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    flat = img.reshape(N, H * W, C)
+
+    def gather(yc, xc):
+        ycl = jnp.clip(yc, 0, H - 1)
+        xcl = jnp.clip(xc, 0, W - 1)
+        idx = ycl * W + xcl
+        return jnp.take_along_axis(
+            flat, idx.reshape(N, -1, 1), axis=1).reshape(*idx.shape, C)
+
+    out = 0.0
+    for jy in range(-1, 3):
+        row = 0.0
+        for jx in range(-1, 3):
+            row = row + wx[jx + 1] * gather(y0i + jy, x0i + jx)
+        out = out + wy[jy + 1] * row
+    return out
+
+
 def sample_nearest(
     img: jax.Array,
     iy: jax.Array,

@@ -1,0 +1,603 @@
+"""Module2 GAN training: one jitted SPMD step with five discriminators.
+
+Behavioral reimplementation of the reference training model
+(`Module2/models/geomgm_ifw_fore_model.py`) re-designed TPU-first:
+
+- The reference runs ~16 separate forward/backward passes per step with
+  host round-trips and optional two-GPU tensor ping-pong; here the WHOLE
+  step (G forward x2, all D passes, MODNet matte, FlowUnet intrinsic flow,
+  MobileFaceNet geometry loss, Sphere20a FaceLoss, TPS warps, both Adam
+  updates, and the coherence-D image pool) is ONE jitted computation.
+- Data parallelism is plain SPMD: shard the batch dim over a
+  `jax.sharding.Mesh` and jit — XLA inserts the gradient all-reduces.
+- The CycleGAN image pool (`Module2/util/image_pool.py`) becomes a device
+  buffer carried in the train state: slots fill until the pool is full,
+  then each query swaps with probability 0.5 against a random slot.
+
+Shipped drawing config (readme.md:65): netg_resb_div=3, disp=3,
+output_nc=1, lr 5e-5, lambda_geom=50, lambda_geom_lipline=50,
+more_weight_for_lip=2, lambda_face=3, lambda_warp_inter=10, blendbg=1,
+niter=70, niter_decay=0.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from animateportrait_tpu.models import gan as gan_lib
+from animateportrait_tpu.models.gan import (
+    NLayerDiscriminator, TridentGeneratorFullIFW, gan_loss)
+from animateportrait_tpu.models.flowunet import FlowUnet, kp_to_map_binary
+from animateportrait_tpu.models.modnet import MODNet
+from animateportrait_tpu.models.perception import (
+    MobileFaceNet, Sphere20a, face_loss)
+from animateportrait_tpu.nn import interpolate_bilinear
+from animateportrait_tpu.ops.tps import sparse_image_warp
+from animateportrait_tpu.ops.warp import sample_bicubic
+
+
+@dataclasses.dataclass(frozen=True)
+class Module2Config:
+    """Training flags mirroring the reference CLI (readme.md:65-67)."""
+
+    crop_size: int = 256
+    output_nc: int = 1           # 1 = drawing, 3 = cartoon
+    ngf: int = 64
+    ndf: int = 64
+    n_layers_d: int = 3
+    netg_resb_div: int = 3
+    netg_resb_disp: int = 3
+    lr: float = 5e-5
+    beta1: float = 0.5
+    niter: int = 70
+    niter_decay: int = 0
+    steps_per_epoch: int = 1000
+    pool_size: int = 50
+    gan_mode: str = "lsgan"
+    lambda_geom: float = 50.0
+    lambda_geom_lipline: float = 50.0
+    lambda_g_a_l: float = 0.5
+    lambda_g_a_coh: float = 0.5
+    lambda_face: float = 3.0
+    lambda_warp: float = 5.0
+    lambda_warp_inter: float = 10.0
+    use_mask: bool = True
+    use_eye_mask: bool = True
+    use_lip_mask: bool = True
+    mask_type: int = 3
+    blendbg: int = 1
+    coherent: int = 1            # 0 for the cartoon twin
+    coh_use_more: int = 2
+    check_fakeb2_in_backward_d: bool = True
+    identity_loss: int = 2
+    warp_loss: int = 2
+    more_weight_for_lip: int = 2
+
+
+class FrozenNets(struct.PyTreeNode):
+    """Frozen helper-net variables (replicated across the mesh)."""
+
+    modnet: Any
+    mobilefacenet: Any
+    sphere: Any
+    flowunet: Any
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    g_params: Any
+    d_params: Any               # dict: d_a, d_a_l, d_a_le, d_a_ll, d_a_coh
+    g_opt: Any
+    d_opt: Any
+    pool: jax.Array             # (pool_size, H, W, 2*output_nc)
+    pool_count: jax.Array
+
+
+# --- geometry helpers -------------------------------------------------------
+
+
+EDGE_ANCHORS_256 = np.array(
+    [[0, 0], [255, 255], [0, 255], [255, 0],
+     [0, 127], [127, 0], [127, 255], [255, 127]], np.float32)
+
+
+def masked(a: jax.Array, mask: jax.Array, mask_type: int = 3) -> jax.Array:
+    """base_model.masked (base_model.py:238-247), NHWC."""
+    if mask_type == 0:
+        return (a / 2 + 0.5) * mask * 2 - 1
+    if mask_type == 1:
+        return ((a / 2 + 0.5) * mask + 1 - mask) * 2 - 1
+    if mask_type == 2:
+        return jnp.concatenate([a, mask], axis=-1)
+    m = ((a / 2 + 0.5) * mask + 1 - mask) * 2 - 1
+    return jnp.concatenate([m, mask], axis=-1)
+
+
+def extract_landmarks(mfn_vars, imgs, wins, crop_size: int = 256,
+                      out_size: int = 112) -> jax.Array:
+    """get_lm (geomgm_ifw_fore_model.py:391-415), batched.
+
+    imgs NHWC in [-1,1] (1 or 3 channels); wins (N, 4) [x1, x2, y1, y2].
+    Crops the window (ones padding outside the image), bicubic-resizes to
+    112, swaps RGB->BGR, runs MobileFaceNet on [0,1], and reprojects the
+    [0,1] landmarks back to window pixel coordinates.
+    """
+    N = imgs.shape[0]
+    if imgs.shape[-1] == 1:
+        imgs = jnp.repeat(imgs, 3, axis=-1)
+    else:
+        imgs = imgs[..., ::-1]  # RGB -> BGR (get_lm's channel swap)
+    x1 = wins[:, 0].astype(jnp.float32)
+    x2 = wins[:, 1].astype(jnp.float32)
+    y1 = wins[:, 2].astype(jnp.float32)
+    y2 = wins[:, 3].astype(jnp.float32)
+    # bicubic sample grid over the box (torch half-pixel convention for the
+    # box -> 112 resize)
+    t = (jnp.arange(out_size) + 0.5) / out_size
+    iy = y1[:, None, None] + t[None, :, None] * (y2 - y1)[:, None, None] - 0.5
+    ix = x1[:, None, None] + t[None, None, :] * (x2 - x1)[:, None, None] - 0.5
+    iy = jnp.broadcast_to(iy, (N, out_size, out_size))
+    ix = jnp.broadcast_to(ix, (N, out_size, out_size))
+    crop = sample_bicubic(imgs, iy, ix)
+    # ones padding where the window leaves the image
+    H, W = imgs.shape[1:3]
+    inb = ((iy >= 0) & (iy <= H - 1) & (ix >= 0) & (ix <= W - 1))
+    crop = jnp.where(inb[..., None], crop, 1.0)
+
+    lm, _ = MobileFaceNet().apply(mfn_vars, (crop + 1.0) * 0.5)
+    lm = lm.reshape(N, 68, 2)
+    lx = lm[..., 0] * (x2 - x1)[:, None] + x1[:, None]
+    ly = lm[..., 1] * (y2 - y1)[:, None] + y1[:, None]
+    return jnp.stack([lx, ly], axis=-1)
+
+
+def lipline_mask(lm68: jax.Array, edges: np.ndarray, size: int = 256,
+                 thickness: float = 2.0) -> jax.Array:
+    """getlipline (geomgm_ifw_fore_model.py:507-515) without cv2: rasterize
+    the 20 lip edges as distance-to-segment <= thickness/2. lm68 (N,68,2)."""
+    N = lm68.shape[0]
+    p0 = lm68[:, edges[:, 0], :]  # (N, E, 2)
+    p1 = lm68[:, edges[:, 1], :]
+    gy, gx = jnp.meshgrid(jnp.arange(size, dtype=jnp.float32),
+                          jnp.arange(size, dtype=jnp.float32), indexing="ij")
+    g = jnp.stack([gx, gy], axis=-1).reshape(1, size * size, 1, 2)
+    a = p0[:, None, :, :]
+    d = p1[:, None, :, :] - a
+    t = jnp.clip(jnp.sum((g - a) * d, -1)
+                 / jnp.maximum(jnp.sum(d * d, -1), 1e-6), 0.0, 1.0)
+    proj = a + t[..., None] * d
+    dist2 = jnp.sum(jnp.square(g - proj), -1)
+    hit = jnp.any(dist2 <= (thickness / 2.0) ** 2, axis=-1)
+    return hit.reshape(N, size, size, 1).astype(jnp.float32)
+
+
+def _with_edges(lm68: jax.Array) -> jax.Array:
+    """Append the 8 fixed border anchors (geomgm_ifw_fore_model.py:379-381)."""
+    N = lm68.shape[0]
+    e = jnp.broadcast_to(jnp.asarray(EDGE_ANCHORS_256)[None], (N, 8, 2))
+    return jnp.concatenate([lm68, e], axis=1)
+
+
+def flow_warp_fields(flow_vars, lm1, lm2, size: int = 256):
+    """flow_network_warp (geomgm_ifw_fore_model.py:69-83) on-device: 68-pt
+    landmarks (N,68,2) in crop_size space -> (flow (N,256,256,2),
+    mask (N,256,256,1))."""
+    j1 = kp_to_map_binary((224, 224), lm1[:, :68] * (7.0 / 8.0))
+    j2 = kp_to_map_binary((224, 224), lm2[:, :68] * (7.0 / 8.0))
+    inp = jnp.concatenate([j1, j2], axis=-1)
+    flow_out, vis_out, _, _ = FlowUnet().apply(flow_vars, inp)
+    vis = jnp.argmax(vis_out, axis=-1, keepdims=True)
+    mask = (vis < 2).astype(jnp.float32)
+    flow = flow_out * 20.0 * mask
+    warp_flow = interpolate_bilinear(flow * (8.0 / 7.0), (size, size),
+                                     align_corners=True)
+    res_mask = interpolate_bilinear(mask, (size, size), align_corners=True)
+    return warp_flow, res_mask
+
+
+def pool_query(pool, count, imgs, rng):
+    """Image pool (util/image_pool.py:23-54) as pure state: returns
+    (new_pool, new_count, out_imgs). Batched variant of the reference's
+    per-image loop; slot collisions within a batch are resolved by later
+    writes winning."""
+    B = imgs.shape[0]
+    psize = pool.shape[0]
+    k1, k2 = jax.random.split(rng)
+    use_hist = jax.random.uniform(k1, (B,)) > 0.5
+    slots = jax.random.randint(k2, (B,), 0, psize)
+    idx = jnp.arange(B)
+    fill_slot = jnp.clip(count + idx, 0, psize - 1)
+    is_fill = (count + idx) < psize
+    write_slot = jnp.where(is_fill, fill_slot, slots)
+    do_write = is_fill | use_hist
+    out = jnp.where(
+        (~is_fill & use_hist)[:, None, None, None],
+        pool[slots], imgs)
+    new_pool = pool.at[jnp.where(do_write, write_slot, psize)].set(
+        jnp.where(do_write[:, None, None, None], imgs, 0.0),
+        mode="drop")
+    new_count = jnp.minimum(count + jnp.sum(is_fill), psize)
+    return new_pool, new_count, out
+
+
+# --- the train step ---------------------------------------------------------
+
+
+def init_state(cfg: Module2Config, rng, example_batch) -> TrainState:
+    """Initialize G/D params ('normal' 0.02 init as the reference) and Adam
+    states."""
+    g = TridentGeneratorFullIFW(
+        output_nc=cfg.output_nc, ngf=cfg.ngf,
+        div=cfg.netg_resb_div, disp=cfg.netg_resb_disp)
+    b = example_batch
+    kg, kd = jax.random.split(rng)
+    g_vars = g.init(kg, b["real_A"], b["A_lm"], b["tB_lm"],
+                    b["warp_motion"], jnp.zeros_like(b["warp_motion"]),
+                    jnp.zeros(b["real_A"].shape[:3] + (1,)))
+    g_params = gan_lib.init_weights_normal(g_vars["params"],
+                                           np.random.default_rng(0))
+
+    nc = cfg.output_nc
+    local_nc = nc + 1 if cfg.mask_type in (2, 3) else nc
+    d_specs = {"d_a": nc, "d_a_l": local_nc, "d_a_le": local_nc,
+               "d_a_ll": local_nc, "d_a_coh": nc * 2}
+    d_params = {}
+    keys = jax.random.split(kd, len(d_specs))
+    H = cfg.crop_size
+    for k, (name, in_nc) in zip(keys, d_specs.items()):
+        if name == "d_a_coh" and not cfg.coherent:
+            continue
+        dv = NLayerDiscriminator(ndf=cfg.ndf, n_layers=cfg.n_layers_d).init(
+            k, jnp.zeros((1, H, H, in_nc)))
+        d_params[name] = gan_lib.init_weights_normal(
+            dv["params"], np.random.default_rng(1))
+
+    g_tx = make_optimizer(cfg)
+    d_tx = make_optimizer(cfg)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=g_params,
+        d_params=d_params,
+        g_opt=g_tx.init(g_params),
+        d_opt=d_tx.init(d_params),
+        pool=jnp.zeros((cfg.pool_size, H, H, nc), jnp.float32),
+        pool_count=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_optimizer(cfg: Module2Config) -> optax.GradientTransformation:
+    """Adam + the reference's linear lr policy (constant for niter epochs,
+    then linear decay over niter_decay epochs; get_scheduler 'linear',
+    networks.py:42-56)."""
+    def schedule(step):
+        epoch = step // cfg.steps_per_epoch  # 0-based
+        decay = jnp.maximum(0, epoch + 1 - cfg.niter) / max(
+            cfg.niter_decay + 1, 1)
+        return cfg.lr * jnp.clip(1.0 - decay, 0.0, 1.0)
+
+    return optax.chain(
+        optax.scale_by_adam(b1=cfg.beta1, b2=0.999, eps=1e-8),
+        optax.scale_by_schedule(lambda s: -schedule(s)),
+    )
+
+
+def build_train_step(cfg: Module2Config):
+    """Returns train_step(state, batch, frozen, rng) -> (state, metrics).
+
+    Batch (all NHWC float32, landmarks in crop_size pixel space):
+      real_A (N,256,256,3), real_B (N,256,256,nc), A_lm/tB_lm/tB2_lm
+      (N,256,256,1) landmark images, A_lm_68/tB_lm_68/tB2_lm_68 (N,68,2),
+      warp_motion/warp_motion2 (N,256,256,2) normalized grids,
+      fakeB_static (N,256,256,nc), winA/winB/winB2 (N,4),
+      B_mask/B2_mask/Br_mask (+ _e, _l variants) (N,256,256,1),
+      B1/B2_img/B3/B4 (N,256,256,nc) film frames for the coherence D.
+    """
+    g_model = TridentGeneratorFullIFW(
+        output_nc=cfg.output_nc, ngf=cfg.ngf,
+        div=cfg.netg_resb_div, disp=cfg.netg_resb_disp)
+    d_model = NLayerDiscriminator(ndf=cfg.ndf, n_layers=cfg.n_layers_d)
+    g_tx = make_optimizer(cfg)
+    d_tx = make_optimizer(cfg)
+    lip_edges = None  # loaded lazily from assets
+
+    from animateportrait_tpu.utils.assets import face_lmark_lookup
+    lip_edges = face_lmark_lookup()[:20]
+
+    def d_apply(params, x):
+        return d_model.apply({"params": params}, x)
+
+    def crit(pred, real):
+        return gan_loss(pred, real, cfg.gan_mode)
+
+    def forward_shared(batch, frozen):
+        """Everything upstream of G that carries no G/D gradients."""
+        real_A = batch["real_A"]
+        _, _, matte = MODNet().apply(frozen.modnet, real_A)
+        mask = (matte > 0.5).astype(jnp.float32)
+        real_A_fore = ((real_A / 2 + 0.5) * mask + 1 - mask) * 2 - 1
+        if not cfg.blendbg:
+            real_A = real_A_fore
+            fakeB_static = ((batch["fakeB_static"] / 2 + 0.5) * mask
+                            + 1 - mask) * 2 - 1
+        else:
+            fakeB_static = batch["fakeB_static"]
+
+        iw_flow, if_mask = flow_warp_fields(
+            frozen.flowunet, batch["A_lm_68"], batch["tB_lm_68"],
+            cfg.crop_size)
+        iw_flow2, if_mask2 = flow_warp_fields(
+            frozen.flowunet, batch["A_lm_68"], batch["tB2_lm_68"],
+            cfg.crop_size)
+
+        a_681 = _with_edges(batch["A_lm_68"])
+        tb_681 = _with_edges(batch["tB_lm_68"])
+        tb2_681 = _with_edges(batch["tB2_lm_68"])
+        if cfg.blendbg:
+            mask1 = sparse_image_warp(
+                mask, a_681[:, :, ::-1], tb_681[:, :, ::-1])[0]
+            mask2 = sparse_image_warp(
+                mask, a_681[:, :, ::-1], tb2_681[:, :, ::-1])[0]
+        else:
+            mask1 = mask2 = None
+        fakeB_static_warp = None
+        if cfg.warp_loss == 2:
+            fakeB_static_warp = sparse_image_warp(
+                fakeB_static, a_681[:, :, ::-1], tb_681[:, :, ::-1])[0]
+        return dict(real_A_fore=real_A_fore, fakeB_static=fakeB_static,
+                    iw_flow=iw_flow, if_mask=if_mask, iw_flow2=iw_flow2,
+                    if_mask2=if_mask2, mask1=mask1, mask2=mask2,
+                    fakeB_static_warp=fakeB_static_warp)
+
+    def g_forward(g_params, batch, shared):
+        fake_B = g_model.apply(
+            {"params": g_params}, shared["real_A_fore"], batch["A_lm"],
+            batch["tB_lm"], batch["warp_motion"], shared["iw_flow"],
+            shared["if_mask"])
+        fake_B2 = g_model.apply(
+            {"params": g_params}, shared["real_A_fore"], batch["A_lm"],
+            batch["tB2_lm"], batch["warp_motion2"], shared["iw_flow2"],
+            shared["if_mask2"])
+        if cfg.blendbg:
+            fb = shared["fakeB_static"]
+            fake_B = ((fake_B / 2 + 0.5) * shared["mask1"]
+                      + (fb / 2 + 0.5) * (1 - shared["mask1"])) * 2 - 1
+            fake_B2 = ((fake_B2 / 2 + 0.5) * shared["mask2"]
+                       + (fb / 2 + 0.5) * (1 - shared["mask2"])) * 2 - 1
+        return fake_B, fake_B2
+
+    def g_loss_fn(g_params, d_params, batch, shared, frozen):
+        fake_B, fake_B2 = g_forward(g_params, batch, shared)
+        cs = float(cfg.crop_size)
+        losses = {}
+        loss = crit(d_apply(d_params["d_a"], fake_B), True)
+        loss += crit(d_apply(d_params["d_a"], fake_B2), True)
+        losses["G_A"] = loss
+
+        locals_ = []
+        if cfg.use_mask:
+            locals_.append(("d_a_l", "B_mask", "B2_mask"))
+        if cfg.use_eye_mask:
+            locals_.append(("d_a_le", "B_maske", "B2_maske"))
+        if cfg.use_lip_mask:
+            locals_.append(("d_a_ll", "B_maskl", "B2_maskl"))
+        for dname, m1, m2 in locals_:
+            fl = masked(fake_B, batch[m1], cfg.mask_type)
+            f2 = masked(fake_B2, batch[m2], cfg.mask_type)
+            l_local = (crit(d_apply(d_params[dname], fl), True)
+                       + crit(d_apply(d_params[dname], f2), True)
+                       ) * cfg.lambda_g_a_l
+            losses[f"G_{dname}"] = l_local
+            loss += l_local
+
+        if cfg.coherent:
+            l_coh = crit(d_apply(
+                d_params["d_a_coh"],
+                jnp.concatenate([fake_B, fake_B2], axis=-1)), True
+            ) * cfg.lambda_g_a_coh
+            losses["G_A_coh"] = l_coh
+            loss += l_coh
+
+        # geometry loss via frozen MobileFaceNet
+        fb_lm = extract_landmarks(frozen.mobilefacenet, fake_B,
+                                  batch["winB"], cfg.crop_size)
+        fb2_lm = extract_landmarks(frozen.mobilefacenet, fake_B2,
+                                   batch["winB2"], cfg.crop_size)
+        tb = batch["tB_lm_68"][:, :68]
+        tb2 = batch["tB2_lm_68"][:, :68]
+        if cfg.more_weight_for_lip == 2:
+            def mse(a, b):
+                return jnp.mean(jnp.square(a / cs - b / cs))
+            l_geom = (mse(fb_lm[:, :48], tb[:, :48]) * cfg.lambda_geom
+                      + mse(fb_lm[:, 48:68], tb[:, 48:68])
+                      * cfg.lambda_geom * 2
+                      + mse(fb2_lm[:, :48], tb2[:, :48]) * cfg.lambda_geom
+                      + mse(fb2_lm[:, 48:68], tb2[:, 48:68])
+                      * cfg.lambda_geom * 2)
+        else:
+            l_geom = (jnp.mean(jnp.square(fb_lm / cs - tb / cs))
+                      + jnp.mean(jnp.square(fb2_lm / cs - tb2 / cs))
+                      ) * cfg.lambda_geom
+        losses["geom_B"] = l_geom
+        loss += l_geom
+
+        if cfg.lambda_geom_lipline > 0:
+            m1 = lipline_mask(tb, lip_edges, cfg.crop_size)
+            m2 = lipline_mask(tb2, lip_edges, cfg.crop_size)
+            l_lip = (jnp.mean((fake_B - (-1.0)) * m1)
+                     + jnp.mean((fake_B2 - (-1.0)) * m2)
+                     ) * cfg.lambda_geom_lipline
+            losses["geom_B_lipline"] = l_lip
+            loss += l_lip
+
+        if cfg.warp_loss:
+            l_warp = jnp.mean(jnp.abs(
+                fake_B - shared["fakeB_static_warp"])) * cfg.lambda_warp
+            losses["warp_B"] = l_warp
+            loss += l_warp
+
+        # inter-frame coherence: fake_B2 vs TPS-warped (detached) fake_B
+        fb_warp = sparse_image_warp(
+            fake_B, tb[:, :, ::-1], tb2[:, :, ::-1])[0]
+        l_inter = jnp.mean(jnp.abs(
+            fake_B2 - jax.lax.stop_gradient(fb_warp))
+        ) * cfg.lambda_warp_inter
+        losses["warp_inter1"] = l_inter
+        loss += l_inter
+
+        if cfg.identity_loss == 2:
+            def rep3(x):
+                return jnp.repeat(x, 3, axis=-1) if x.shape[-1] == 1 else x
+            from animateportrait_tpu.models.perception import crop_head_bbox
+            f_crop = crop_head_bbox(rep3(fake_B), batch["winB"])
+            s_crop = crop_head_bbox(rep3(shared["fakeB_static"]),
+                                    batch["winA"])
+            l_iden = face_loss(
+                lambda v, x: Sphere20a().apply(v, x), frozen.sphere,
+                f_crop, s_crop) * cfg.lambda_face
+            losses["iden_B"] = l_iden
+            loss += l_iden
+
+        losses["G"] = loss
+        return loss, (fake_B, fake_B2, losses)
+
+    def d_loss_fn(d_params, batch, fake_B, fake_B2, pooled_B, pooled_B2):
+        loss = 0.0
+        losses = {}
+
+        def basic3(dname, real, f1, f2):
+            lr_ = crit(d_apply(d_params[dname], real), True)
+            lf1 = crit(d_apply(d_params[dname], f1), False)
+            lf2 = crit(d_apply(d_params[dname], f2), False)
+            if cfg.check_fakeb2_in_backward_d:
+                return (lr_ + (lf1 + lf2) / 2.0) / 2.0
+            return (lr_ + lf1) * 0.5
+
+        l = basic3("d_a", batch["real_B"], fake_B, fake_B2)
+        losses["D_A"] = l
+        loss += l
+        locals_ = []
+        if cfg.use_mask:
+            locals_.append(("d_a_l", "Br_mask", "B_mask", "B2_mask"))
+        if cfg.use_eye_mask:
+            locals_.append(("d_a_le", "Br_maske", "B_maske", "B2_maske"))
+        if cfg.use_lip_mask:
+            locals_.append(("d_a_ll", "Br_maskl", "B_maskl", "B2_maskl"))
+        for dname, mr, m1, m2 in locals_:
+            l = basic3(dname,
+                       masked(batch["real_B"], batch[mr], cfg.mask_type),
+                       masked(fake_B, batch[m1], cfg.mask_type),
+                       masked(fake_B2, batch[m2], cfg.mask_type))
+            losses[f"D_{dname}"] = l
+            loss += l
+
+        if cfg.coherent:
+            real_pair = jnp.concatenate(
+                [batch["B1_img"], batch["B2_img"]], axis=-1)
+            fake_pair = jnp.concatenate([pooled_B, pooled_B2], axis=-1)
+            lr_ = crit(d_apply(d_params["d_a_coh"], real_pair), True)
+            lf = crit(d_apply(d_params["d_a_coh"], fake_pair), False)
+            if cfg.coh_use_more:
+                extra_pair = jnp.concatenate(
+                    [batch["B3"], batch["B4"]], axis=-1)
+                lf2 = crit(d_apply(d_params["d_a_coh"], extra_pair), False)
+                l = (lr_ + lf + lf2) / 3.0
+            else:
+                l = (lr_ + lf) * 0.5
+            losses["D_A_coh"] = l
+            loss += l
+        return loss, losses
+
+    def train_step(state: TrainState, batch, frozen: FrozenNets, rng):
+        shared = forward_shared(batch, frozen)
+
+        (_, (fake_B, fake_B2, g_losses)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(
+            state.g_params, state.d_params, batch, shared, frozen)
+        g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        fake_B = jax.lax.stop_gradient(fake_B)
+        fake_B2 = jax.lax.stop_gradient(fake_B2)
+        k1, k2 = jax.random.split(rng)
+        pool, count, pooled_B = pool_query(
+            state.pool, state.pool_count, fake_B, k1)
+        pool, count, pooled_B2 = pool_query(pool, count, fake_B2, k2)
+
+        (_, d_losses), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(
+            state.d_params, batch, fake_B, fake_B2, pooled_B, pooled_B2)
+        d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        metrics = {**g_losses, **d_losses}
+        new_state = state.replace(
+            step=state.step + 1, g_params=g_params, d_params=d_params,
+            g_opt=g_opt, d_opt=d_opt, pool=pool, pool_count=count)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_example_batch(cfg: Module2Config, batch_size: int = 1,
+                       size: int | None = None) -> dict:
+    """Zeros batch with the right shapes (for init / dry runs)."""
+    H = size or cfg.crop_size
+    nc = cfg.output_nc
+    z = functools.partial(jnp.zeros, dtype=jnp.float32)
+    # non-degenerate landmark geometry (collinear points would make the
+    # TPS solves singular): a circle around the image center
+    theta = np.linspace(0.0, 2 * np.pi, 68, endpoint=False)
+    lm_np = np.stack([H / 2 + H / 4 * np.cos(theta),
+                      H / 2 + H / 4 * np.sin(theta)],
+                     axis=-1).astype(np.float32)
+    lm = jnp.tile(jnp.asarray(lm_np)[None], (batch_size, 1, 1))
+    return {
+        "real_A": z((batch_size, H, H, 3)),
+        "real_B": z((batch_size, H, H, nc)),
+        "A_lm": z((batch_size, H, H, 1)),
+        "tB_lm": z((batch_size, H, H, 1)),
+        "tB2_lm": z((batch_size, H, H, 1)),
+        "A_lm_68": lm, "tB_lm_68": lm + 1.0, "tB2_lm_68": lm + 2.0,
+        "warp_motion": z((batch_size, H, H, 2)),
+        "warp_motion2": z((batch_size, H, H, 2)),
+        "fakeB_static": z((batch_size, H, H, nc)),
+        "winA": jnp.tile(jnp.asarray([[40, H - 40, 40, H - 40]],
+                                     jnp.int32), (batch_size, 1)),
+        "winB": jnp.tile(jnp.asarray([[40, H - 40, 40, H - 40]],
+                                     jnp.int32), (batch_size, 1)),
+        "winB2": jnp.tile(jnp.asarray([[40, H - 40, 40, H - 40]],
+                                      jnp.int32), (batch_size, 1)),
+        "B_mask": z((batch_size, H, H, 1)),
+        "B2_mask": z((batch_size, H, H, 1)),
+        "Br_mask": z((batch_size, H, H, 1)),
+        "B_maske": z((batch_size, H, H, 1)),
+        "B2_maske": z((batch_size, H, H, 1)),
+        "Br_maske": z((batch_size, H, H, 1)),
+        "B_maskl": z((batch_size, H, H, 1)),
+        "B2_maskl": z((batch_size, H, H, 1)),
+        "Br_maskl": z((batch_size, H, H, 1)),
+        "B1_img": z((batch_size, H, H, nc)),
+        "B2_img": z((batch_size, H, H, nc)),
+        "B3": z((batch_size, H, H, nc)),
+        "B4": z((batch_size, H, H, nc)),
+    }
+
+
+def init_frozen_random(rng, crop_size: int = 256) -> FrozenNets:
+    """Randomly initialized frozen nets (tests / dry runs; real use loads
+    converted reference checkpoints)."""
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    modnet = MODNet().init(k1, jnp.zeros((1, crop_size, crop_size, 3)))
+    mfn = MobileFaceNet().init(k2, jnp.zeros((1, 112, 112, 3)))
+    sphere = Sphere20a().init(k3, jnp.zeros((1, 112, 96, 3)))
+    flow = FlowUnet().init(k4, jnp.zeros((1, 224, 224, 136)))
+    return FrozenNets(modnet=modnet, mobilefacenet=mfn, sphere=sphere,
+                      flowunet=flow)

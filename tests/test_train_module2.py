@@ -1,0 +1,82 @@
+"""Module2 GAN train-step tests: single-device smoke + 8-way DP sharding."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _small_cfg():
+    from animateportrait_tpu.train.module2 import Module2Config
+
+    return Module2Config(
+        crop_size=64, output_nc=1, ngf=8, ndf=8, steps_per_epoch=2,
+        pool_size=4, lambda_geom_lipline=50.0)
+
+
+def _setup(cfg, batch_size=1):
+    from animateportrait_tpu.train.module2 import (
+        build_train_step, init_frozen_random, init_state,
+        make_example_batch)
+
+    rng = jax.random.key(0)
+    batch = make_example_batch(cfg, batch_size=batch_size)
+    # non-trivial inputs so losses aren't degenerate
+    np_rng = np.random.default_rng(0)
+    for k, v in batch.items():
+        if v.dtype == jnp.float32 and v.ndim == 4:
+            batch[k] = jnp.asarray(
+                np_rng.uniform(-1, 1, v.shape).astype(np.float32))
+    state = init_state(cfg, rng, batch)
+    frozen = init_frozen_random(rng, cfg.crop_size)
+    step = build_train_step(cfg)
+    return state, batch, frozen, step
+
+
+def test_train_step_smoke():
+    cfg = _small_cfg()
+    state, batch, frozen, step = _setup(cfg)
+    jstep = jax.jit(step)
+    state1, metrics = jstep(state, batch, frozen, jax.random.key(1))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    assert int(state1.step) == 1
+    # G params actually moved
+    leaf0 = jax.tree_util.tree_leaves(state.g_params)[0]
+    leaf1 = jax.tree_util.tree_leaves(state1.g_params)[0]
+    assert not np.allclose(np.asarray(leaf0), np.asarray(leaf1))
+    # D params actually moved
+    d0 = jax.tree_util.tree_leaves(state.d_params)[0]
+    d1 = jax.tree_util.tree_leaves(state1.d_params)[0]
+    assert not np.allclose(np.asarray(d0), np.asarray(d1))
+    # second step works and fills the pool further
+    state2, _ = jstep(state1, batch, frozen, jax.random.key(2))
+    assert int(state2.pool_count) >= int(state1.pool_count)
+
+
+def test_train_step_dp_sharding():
+    """Full train step jitted over an 8-device data-parallel mesh."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = _small_cfg()
+    state, batch, frozen, step = _setup(cfg, batch_size=8)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    batch_sharding = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    batch = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, batch_sharding), batch)
+    state = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, repl), state)
+    frozen = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, repl), frozen)
+
+    jstep = jax.jit(step, out_shardings=None)
+    state1, metrics = jstep(state, batch, frozen, jax.random.key(1))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    # params remain replicated and synchronized
+    leaf = jax.tree_util.tree_leaves(state1.g_params)[0]
+    assert leaf.sharding.is_fully_replicated
