@@ -1,0 +1,225 @@
+"""Landmark rasterization + the Module2 inference renderer.
+
+Replaces `Module2/test.py` + `GeomCGTIFWTestModel` + `UMLVDFWTestDataset`
+(`Module2/models/geomcgt_ifw_test_model.py`, `Module2/data/
+umlvdfw_test_dataset.py`) with an in-memory, frame-batched pipeline:
+
+- landmark images are rasterized with cv2 exactly like the reference's
+  ``draw2`` (dots / dots+edges / colored polygons);
+- the per-frame scipy-griddata warp grid (the reference's dominant CPU
+  cost) is replaced by the batched on-device TPS
+  (`ops.tps.motion_grid_from_landmarks`);
+- MODNet matting + static stylization run ONCE for the source photo;
+- per frame the jitted step computes intrinsic flow, the trident generator
+  forward, and fg/bg matte blending, batched over frames.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from animateportrait_tpu.models.flowunet import (
+    FlowUnet, kp_to_map_binary)
+from animateportrait_tpu.models.gan import (
+    ResnetStyle2Generator, TridentGeneratorFullIFW)
+from animateportrait_tpu.models.modnet import MODNet
+from animateportrait_tpu.models.photo2cartoon import Photo2CartoonGenerator
+from animateportrait_tpu.nn import interpolate_bilinear
+from animateportrait_tpu.ops.tps import motion_grid_from_landmarks
+from animateportrait_tpu.ops.warp import grid_sample
+from animateportrait_tpu.utils.assets import face_lmark_lookup
+
+_POLY_LOOPS = [
+    list(range(17)) + [26, 25, 24, 23, 22, 21, 20, 19, 18, 17],
+    [21, 20, 19, 18, 17], [26, 25, 24, 23, 22],
+    [39, 38, 37, 36, 41, 40], [45, 44, 43, 42, 47, 46],
+    [35, 27, 31, 32, 33, 34],
+    [54, 53, 52, 51, 50, 49, 48, 60, 61, 62, 63, 64],
+    [54, 64, 65, 66, 67, 60, 48, 59, 58, 57, 56, 55],
+    [64, 63, 62, 61, 60, 67, 66, 65],
+]
+_POLY_COLORS = ["pink", "blue", "green", "purple", "cyan", "brown",
+                "orange", "yellow", "magenta"]
+
+
+def draw_landmarks(height: int, width: int, lands: np.ndarray,
+                   radius: int = 3, thickness: int = 2,
+                   op: int = 0) -> np.ndarray:
+    """Reference ``draw2`` (umlvdfw_test_dataset.py:34-65).
+
+    Returns (H, W, 1) float in [-1, 1] for op 0/1, (H, W, 3) for op 2.
+    """
+    import cv2
+
+    lands = np.round(np.asarray(lands)).astype(int)
+    if op in (0, 1):
+        frame = np.zeros((height, width), np.uint8)
+        for (x, y) in lands:
+            cv2.circle(frame, (int(x), int(y)), radius, 255, -1)
+        if op == 1:
+            for a, b in face_lmark_lookup():
+                cv2.line(frame, (int(lands[a, 0]), int(lands[a, 1])),
+                         (int(lands[b, 0]), int(lands[b, 1])), 255,
+                         thickness)
+        return (frame[..., None].astype(np.float32) / 255.0) * 2 - 1
+    if op == 2:
+        from PIL import Image, ImageDraw
+
+        img = Image.new("RGB", (width, height), (255, 255, 255))
+        draw = ImageDraw.Draw(img)
+        for loop, color in zip(_POLY_LOOPS, _POLY_COLORS):
+            pts = [(int(lands[i][0]), int(lands[i][1])) for i in loop]
+            draw.polygon(pts, fill=color, outline="black")
+        return (np.asarray(img, np.float32) / 255.0) * 2 - 1
+    raise ValueError(f"op {op}")
+
+
+def test_window(load_size: int = 256, rx: float = 0.15, ry: float = 0.2,
+                rs: float = 0.7) -> np.ndarray:
+    """Face window [x1, x2, y1, y2] for the no-crop test transform
+    (umlvdfw_test_dataset.py:12-31 with crop_pos=(0,0), flip=False)."""
+    x1 = int(round(rx * load_size))
+    y1 = int(round(ry * load_size))
+    s = int(round(rs * load_size))
+    return np.array([x1, x1 + s, y1, y1 + s], np.int32)
+
+
+@dataclasses.dataclass
+class RendererVariables:
+    """Converted checkpoint variables for the inference stack."""
+
+    generator: dict
+    flowunet: dict
+    modnet: dict
+    static_drawing: dict | None = None   # ResnetStyle2Generator
+    photo2cartoon: dict | None = None    # Photo2CartoonGenerator
+
+
+class Module2Renderer:
+    """Photo + per-frame target landmarks -> stylized frames.
+
+    Equivalent of `GeomCGTIFWTestModel.forward`
+    (geomcgt_ifw_test_model.py:276-302), frame-batched on device.
+    """
+
+    def __init__(self, variables: RendererVariables, style: str = "drawing",
+                 output_nc: int | None = None, ngf: int = 64,
+                 div: int = 3, disp: int = 3, crop_size: int = 256,
+                 frame_batch: int = 8, flowunet: FlowUnet | None = None,
+                 modnet: MODNet | None = None,
+                 static_g: ResnetStyle2Generator | None = None,
+                 cartoon_g: Photo2CartoonGenerator | None = None):
+        self.v = variables
+        self.style = style
+        nc = output_nc if output_nc is not None else (
+            1 if style == "drawing" else 3)
+        self.g = TridentGeneratorFullIFW(output_nc=nc, ngf=ngf, div=div,
+                                         disp=disp)
+        self.flowunet = flowunet or FlowUnet()
+        self.modnet = modnet or MODNet()
+        self.static_g = static_g or ResnetStyle2Generator()
+        self.cartoon_g = cartoon_g or Photo2CartoonGenerator()
+        self.crop_size = crop_size
+        self.frame_batch = frame_batch
+        self._prep_jit = jax.jit(self._prepare)
+        self._frames_jit = jax.jit(self._frames)
+
+    # --- once per photo ---
+    def _prepare(self, photo):
+        """photo (1,256,256,3) in [-1,1] -> (masked photo, matte,
+        fakeB_static)."""
+        _, _, matte = self.modnet.apply(self.v.modnet, photo)
+        mask = (matte > 0.5).astype(jnp.float32)
+        if self.style == "drawing":
+            photo_512 = interpolate_bilinear(photo, (512, 512),
+                                             align_corners=False)
+            style_map = jnp.tile(
+                jnp.asarray([0.0, 1.0, 0.0])[None, None, None, :],
+                (1, 128, 128, 1))
+            static_512 = self.static_g.apply(
+                self.v.static_drawing, photo_512, style_map)
+            fake_static = interpolate_bilinear(
+                static_512, (self.crop_size, self.crop_size),
+                align_corners=False)
+        else:
+            cartoon, _, _ = self.cartoon_g.apply(
+                self.v.photo2cartoon, photo)
+            fake_static = cartoon
+        photo_fore = ((photo / 2 + 0.5) * mask + 1 - mask) * 2 - 1
+        return photo_fore, mask, fake_static
+
+    # --- per frame batch ---
+    def _frames(self, photo_fore, mask, fake_static, a_lm_img, a_lm68,
+                tb_lm_imgs, tb_lm68s, motions):
+        B = tb_lm68s.shape[0]
+        cs = self.crop_size
+
+        def flow_for(lm2):
+            j1 = kp_to_map_binary((224, 224), a_lm68[0] * (7.0 / 8.0))
+            j2 = kp_to_map_binary((224, 224), lm2 * (7.0 / 8.0))
+            inp = jnp.concatenate([j1, j2], axis=-1)[None]
+            flow_out, vis_out, _, _ = self.flowunet.apply(
+                self.v.flowunet, inp)
+            vis = jnp.argmax(vis_out, axis=-1, keepdims=True)
+            m = (vis < 2).astype(jnp.float32)
+            flow = flow_out * 20.0 * m
+            warp_flow = interpolate_bilinear(flow * (8.0 / 7.0), (cs, cs),
+                                             align_corners=True)
+            res_mask = interpolate_bilinear(m, (cs, cs), align_corners=True)
+            return warp_flow[0], res_mask[0]
+
+        flows, fmasks = jax.vmap(flow_for)(tb_lm68s)
+
+        photo_b = jnp.broadcast_to(photo_fore,
+                                   (B,) + photo_fore.shape[1:])
+        a_lm_b = jnp.broadcast_to(a_lm_img, (B,) + a_lm_img.shape[1:])
+        fake_b = self.g.apply(self.v.generator, photo_b, a_lm_b,
+                              tb_lm_imgs, motions, flows, fmasks)
+        mask1 = grid_sample(
+            jnp.broadcast_to(mask, (B,) + mask.shape[1:]), motions,
+            align_corners=True)
+        static_b = jnp.broadcast_to(fake_static,
+                                    (B,) + fake_static.shape[1:])
+        out = ((fake_b / 2 + 0.5) * mask1
+               + (static_b / 2 + 0.5) * (1 - mask1)) * 2 - 1
+        return out
+
+    def __call__(self, photo: np.ndarray, a_lm68: np.ndarray,
+                 tb_lm68s: np.ndarray,
+                 progress: Callable[[int, int], None] | None = None
+                 ) -> np.ndarray:
+        """photo (256,256,3) [-1,1]; a_lm68 (68,2); tb_lm68s (T,68,2)
+        -> frames (T,256,256,nc) in [-1,1]."""
+        cs = self.crop_size
+        photo = jnp.asarray(photo, jnp.float32)[None]
+        a68 = jnp.asarray(a_lm68, jnp.float32)[None]
+        prep = self._prep_jit(photo)
+
+        a_lm_img = jnp.asarray(
+            draw_landmarks(cs, cs, np.asarray(a_lm68)), jnp.float32)[None]
+        T = tb_lm68s.shape[0]
+        fb = self.frame_batch
+        outs = []
+        pad = (-T) % fb
+        tb68_p = np.concatenate(
+            [tb_lm68s, np.repeat(tb_lm68s[-1:], pad, 0)], 0) if pad else (
+            np.asarray(tb_lm68s))
+        tb_imgs = np.stack([draw_landmarks(cs, cs, lm) for lm in tb68_p])
+        for j in range(0, tb68_p.shape[0], fb):
+            lm_batch = jnp.asarray(tb68_p[j: j + fb], jnp.float32)
+            motions = motion_grid_from_landmarks(
+                jnp.broadcast_to(a68, lm_batch.shape), lm_batch, cs)
+            out = self._frames_jit(
+                *prep, a_lm_img, a68,
+                jnp.asarray(tb_imgs[j: j + fb], jnp.float32), lm_batch,
+                motions)
+            outs.append(np.asarray(out))
+            if progress is not None:
+                progress(min(j + fb, T), T)
+        frames = np.concatenate(outs, axis=0)[:T]
+        return frames

@@ -1,0 +1,186 @@
+"""Benchmark: per-frame generator throughput on the current accelerator.
+
+Measures the hot path of end-to-end inference — the trident
+landmark-conditioned generator (resnet_9blocks_rcatland32_full_ifw
+equivalent) at 256x256, the per-frame cost that dominates the reference's
+Module2/test.py loop — and reports frames/sec/chip.
+
+``vs_baseline`` compares against the PyTorch CPU reference generator
+measured in-process on this machine (the reference's shipped setting is a
+single CUDA GPU, but no NVIDIA GPU exists here; BASELINE.json's target is
+">=20x vs the PyTorch CPU reference"). Set BENCH_SKIP_TORCH=1 to skip the
+torch baseline and report vs_baseline=null quickly.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+H = 256
+STEPS = int(os.environ.get("BENCH_STEPS", "20"))
+
+
+def bench_jax() -> float:
+    import jax
+    import jax.numpy as jnp
+    from animateportrait_tpu.models.gan import TridentGeneratorFullIFW
+
+    model = TridentGeneratorFullIFW(output_nc=1, ngf=64, n_blocks=9,
+                                    div=3, disp=3)
+    rng = np.random.default_rng(0)
+
+    def mk(shape):
+        return jnp.asarray(rng.uniform(-1, 1, shape), jnp.bfloat16
+                           if os.environ.get("BENCH_BF16") else jnp.float32)
+
+    args = (mk((BATCH, H, H, 3)), mk((BATCH, H, H, 1)), mk((BATCH, H, H, 1)),
+            mk((BATCH, H, H, 2)), mk((BATCH, H, H, 2)),
+            jnp.ones((BATCH, H, H, 1), jnp.float32))
+    variables = model.init(jax.random.key(0), *args)
+    fwd = jax.jit(lambda *a: model.apply(variables, *a))
+    out = fwd(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        out = fwd(*args)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return BATCH * STEPS / dt
+
+
+def bench_torch_cpu() -> float | None:
+    """Reference-architecture generator forward on PyTorch CPU."""
+    if os.environ.get("BENCH_SKIP_TORCH"):
+        return None
+    try:
+        import torch
+        import torch.nn as tnn
+        import torch.nn.functional as F
+    except ImportError:
+        return None
+
+    # minimal reference-equivalent trident generator (same flop structure)
+    class RB(tnn.Module):
+        def __init__(self, d):
+            super().__init__()
+            self.b = tnn.Sequential(
+                tnn.ReflectionPad2d(1), tnn.Conv2d(d, d, 3),
+                tnn.InstanceNorm2d(d), tnn.ReLU(True),
+                tnn.ReflectionPad2d(1), tnn.Conv2d(d, d, 3),
+                tnn.InstanceNorm2d(d))
+
+        def forward(self, x):
+            return x + self.b(x)
+
+    class RB2(tnn.Module):
+        def __init__(self, di, do):
+            super().__init__()
+            self.b = tnn.Sequential(
+                tnn.ReflectionPad2d(1), tnn.Conv2d(di, do, 3),
+                tnn.InstanceNorm2d(do), tnn.ReLU(True),
+                tnn.ReflectionPad2d(1), tnn.Conv2d(do, do, 3),
+                tnn.InstanceNorm2d(do))
+            self.s = tnn.Sequential(tnn.Conv2d(di, do, 3, padding=1),
+                                    tnn.InstanceNorm2d(do))
+
+        def forward(self, x):
+            return self.s(x) + self.b(x)
+
+    ngf = 64
+
+    class G(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            def stem(o):
+                return tnn.Sequential(tnn.ReflectionPad2d(3),
+                                      tnn.Conv2d(3, o, 7),
+                                      tnn.InstanceNorm2d(o), tnn.ReLU(True))
+            def down(i, o):
+                return tnn.Sequential(tnn.Conv2d(i, o, 3, 2, 1),
+                                      tnn.InstanceNorm2d(o), tnn.ReLU(True))
+            self.t00, self.t01, self.t02 = stem(ngf // 2), down(
+                ngf, ngf * 2), down(ngf * 2, ngf * 4)
+            self.t10, self.t11, self.t12 = stem(ngf), down(ngf, ngf), down(
+                ngf * 2, ngf * 4)
+            self.t20, self.t21, self.t22 = stem(ngf), down(
+                ngf, ngf * 2), down(ngf * 2, ngf * 2)
+            self.merge = tnn.Conv2d(ngf * 12, ngf * 4, 3, padding=1)
+            self.lt = tnn.Sequential(
+                tnn.Conv2d(1, 8, 3, 1, 1), tnn.InstanceNorm2d(8),
+                tnn.ReLU(True), tnn.Conv2d(8, 16, 3, 2, 1),
+                tnn.InstanceNorm2d(16), tnn.ReLU(True),
+                tnn.Conv2d(16, 16, 3, 2, 1), tnn.InstanceNorm2d(16))
+            self.blocks = tnn.ModuleList(
+                [RB2(ngf * 4 + 32, ngf * 4) if i % 3 == 0 else RB(ngf * 4)
+                 for i in range(9)])
+            self.up = tnn.Sequential(
+                tnn.ConvTranspose2d(ngf * 4, ngf * 2, 3, 2, 1, 1),
+                tnn.InstanceNorm2d(ngf * 2), tnn.ReLU(True),
+                tnn.ConvTranspose2d(ngf * 2, ngf, 3, 2, 1, 1),
+                tnn.InstanceNorm2d(ngf), tnn.ReLU(True),
+                tnn.ReflectionPad2d(3), tnn.Conv2d(ngf, 1, 7), tnn.Tanh())
+
+        def dfw(self, x, motion, flow, level):
+            if level > 0:
+                s = x.shape[-1]
+                motion = F.interpolate(motion.permute(0, 3, 1, 2), (s, s),
+                                       mode="bilinear",
+                                       align_corners=True).permute(
+                    0, 2, 3, 1)
+                flow = F.interpolate(flow / 2 ** level, (s, s),
+                                     mode="bilinear", align_corners=True)
+            x1 = F.grid_sample(x, motion)
+            x2 = F.grid_sample(x, motion)  # stands in for warp_acc_flow
+            return torch.cat([x1, x2], 1)
+
+        def forward(self, x, l1, l2, motion, flow):
+            a = self.t00(x)
+            a = self.dfw(a, motion, flow, 0)
+            a = self.t02(self.t01(a))
+            b = self.t11(self.t10(x))
+            b = self.dfw(b, motion, flow, 1)
+            b = self.t12(b)
+            c = self.t22(self.t21(self.t20(x)))
+            c = self.dfw(c, motion, flow, 2)
+            y = self.merge(torch.cat([a, b, c], 1))
+            e1, e2 = self.lt(l1), self.lt(l2)
+            for i, blk in enumerate(self.blocks):
+                y = blk(torch.cat([y, e1, e2], 1) if i % 3 == 0 else y)
+            return self.up(y)
+
+    g = G().eval()
+    x = torch.randn(1, 3, H, H)
+    l1 = torch.randn(1, 1, H, H)
+    l2 = torch.randn(1, 1, H, H)
+    motion = torch.rand(1, H, H, 2) * 2 - 1
+    flow = torch.randn(1, 2, H, H)
+    with torch.no_grad():
+        g(x, l1, l2, motion, flow)  # warmup
+        n = max(2, STEPS // 8)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            g(x, l1, l2, motion, flow)
+        dt = time.perf_counter() - t0
+    return n / dt
+
+
+def main():
+    fps = bench_jax()
+    base = bench_torch_cpu()
+    vs = (fps / base) if base else None
+    print(json.dumps({
+        "metric": "generator_forward_frames_per_sec_256px",
+        "value": round(fps, 3),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(vs, 3) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()
