@@ -1,0 +1,184 @@
+"""Audio front end: WAV -> (AutoVC-normalized mel, speaker embedding).
+
+Behavioral reimplementation of the reference chain
+(`main_end2end_module2.py:206-228` ->
+`AutoVC_mel_Convertor_retrain_version.py:199-276` ->
+`vocoder_spec/extract_f0_func.py:95-127`), with no external audio deps:
+WAV IO via the stdlib, resampling/filtering via scipy, STFT/mel and the
+AutoVC generator as jitted JAX, and f0 via the batched NCCF tracker in
+`ops.f0` (a deliberate RAPT substitution, see that module's docstring).
+"""
+from __future__ import annotations
+
+import dataclasses
+import wave
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from animateportrait_tpu.models.autovc import AutoVCGenerator
+from animateportrait_tpu.ops import f0 as f0_ops
+from animateportrait_tpu.ops.spectral import (
+    mel_filterbank, quantize_f0_onehot, speaker_normalize_f0,
+    stft_magnitude)
+from animateportrait_tpu.utils import assets
+
+SR = 16000
+HOP = 256
+N_FFT = 1024
+
+
+def load_wav(path: str, target_sr: int = SR) -> np.ndarray:
+    """Load a WAV file to float64 mono in [-1, 1), resampled to 16 kHz
+    (the driver's `ffmpeg -ar 16000` step, main_end2end_module2.py:214)."""
+    try:
+        with wave.open(path, "rb") as w:
+            sr = w.getframerate()
+            n = w.getnframes()
+            ch = w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(n)
+        if width == 2:
+            x = np.frombuffer(raw, np.int16).astype(np.float64) / 32768.0
+        elif width == 4:
+            x = np.frombuffer(raw, np.int32).astype(np.float64) / 2147483648.0
+        elif width == 1:
+            x = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128) / 128
+        else:
+            raise ValueError(f"unsupported sample width {width}")
+        if ch > 1:
+            x = x.reshape(-1, ch)[:, 0]
+    except wave.Error:
+        from scipy.io import wavfile
+
+        sr, x = wavfile.read(path)
+        if x.dtype == np.int16:
+            x = x.astype(np.float64) / 32768.0
+        elif x.dtype == np.int32:
+            x = x.astype(np.float64) / 2147483648.0
+        elif x.dtype == np.uint8:
+            x = (x.astype(np.float64) - 128) / 128
+        else:
+            x = x.astype(np.float64)
+        if x.ndim > 1:
+            x = x[:, 0]
+    if sr != target_sr:
+        from scipy.signal import resample_poly
+        from math import gcd
+
+        g = gcd(sr, target_sr)
+        x = resample_poly(x, target_sr // g, sr // g)
+    return x
+
+
+def normalize_dbfs(x: np.ndarray, target_dbfs: float = -20.0) -> np.ndarray:
+    """pydub match_target_amplitude (-20 dBFS, the reference's
+    AutoVC...py:223-225): apply gain so RMS dBFS hits the target, then
+    round-trip through int16 like the reference's export-to-wav does."""
+    rms = np.sqrt(np.mean(np.square(x)))
+    dbfs = 20 * np.log10(max(rms, 1e-12))
+    gain = 10 ** ((target_dbfs - dbfs) / 20.0)
+    y = np.clip(x * gain, -1.0, 1.0)
+    return np.round(y * 32768.0).clip(-32768, 32767) / 32768.0
+
+
+def extract_mel_and_f0(wav: np.ndarray, gender: str = "F",
+                       seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """extract_f0_func_audiofile (extract_f0_func.py:95-127): 5th-order
+    30 Hz butter filtfilt, dither, 1024/256 STFT -> 80-bin mel (90-7600),
+    dB floor -100, S=(dB+100)/100; speaker-normalized log-f0."""
+    from scipy import signal
+
+    lo, hi = (50.0, 250.0) if gender == "M" else (100.0, 600.0)
+    x = np.asarray(wav, np.float64)
+    if x.shape[0] % 256 == 0:
+        x = np.concatenate([x, np.array([1e-06])])
+    b, a = signal.butter(5, 30 / (SR / 2), "high")
+    y = signal.filtfilt(b, a, x)
+    prng = np.random.RandomState(seed)
+    w = y * 0.95 + (prng.rand(y.shape[0]) - 0.5) * 1e-06
+
+    mel_fb = mel_filterbank(sr=SR, n_fft=N_FFT, n_mels=80, fmin=90.0,
+                            fmax=7600.0)
+    mag = stft_magnitude(jnp.asarray(w, jnp.float32), n_fft=N_FFT, hop=HOP)
+    d_mel = mag @ jnp.asarray(mel_fb.T)
+    min_level = np.exp(-100 / 20 * np.log(10))
+    d_db = 20.0 * jnp.log10(jnp.maximum(min_level, d_mel)) - 16.0
+    s = np.asarray((d_db + 100.0) / 100.0, np.float32)
+
+    logf0, voiced = f0_ops.track_f0(jnp.asarray(w, jnp.float32), sr=SR,
+                                    hop=HOP, lo=lo, hi=hi)
+    f0_norm = np.asarray(speaker_normalize_f0(logf0, voiced))
+    T = min(s.shape[0], f0_norm.shape[0])
+    return s[:T], f0_norm[:T]
+
+
+@dataclasses.dataclass
+class AudioFeatures:
+    mel_autovc: np.ndarray      # (T, 80) voice-normalized mel
+    spk_emb: np.ndarray         # (256,) speaker embedding
+    mel_raw: np.ndarray         # (T, 80) pre-AutoVC mel
+    f0_norm: np.ndarray         # (T,) normalized f0
+
+
+class AudioPipeline:
+    """WAV -> AutoVC-normalized features, chunked like the reference."""
+
+    def __init__(self, autovc_variables, voice_encoder_variables=None,
+                 chunk: int = 4096):
+        self.autovc_variables = autovc_variables
+        self.voice_encoder_variables = voice_encoder_variables
+        self.chunk = chunk
+        self._g = AutoVCGenerator()
+        self._fwd = jax.jit(
+            lambda v, mel, s_src, s_trg, f0oh: self._g.apply(
+                v, mel, s_src, s_trg, f0oh)[1])
+
+    def speaker_embedding(self, wav: np.ndarray) -> np.ndarray:
+        if self.voice_encoder_variables is None:
+            # deterministic fallback when no converted resemblyzer weights
+            # are provided: zero embedding (AutoVC conditions on the target
+            # Obama embedding regardless)
+            return np.zeros(256, np.float32)
+        from animateportrait_tpu.models.speaker_encoder import get_spk_emb
+
+        return get_spk_emb(self.voice_encoder_variables, wav)
+
+    def __call__(self, wav: np.ndarray, gender: str = "F") -> AudioFeatures:
+        wav = normalize_dbfs(wav)
+        mel, f0_norm = extract_mel_and_f0(wav, gender)
+        emb = self.speaker_embedding(wav)
+        emb_trg = assets.obama_speaker_emb().astype(np.float32)
+
+        f0_oh = np.asarray(quantize_f0_onehot(jnp.asarray(f0_norm)))
+        outs = []
+        T = mel.shape[0]
+        for i in range(0, T, self.chunk):
+            m = mel[i: i + self.chunk]
+            f = f0_oh[i: i + self.chunk]
+            pad = (-m.shape[0]) % 32
+            if pad:
+                m = np.pad(m, ((0, pad), (0, 0)))
+                f = np.pad(f, ((0, pad), (0, 0)))
+            out = self._fwd(
+                self.autovc_variables,
+                jnp.asarray(m, jnp.float32)[None],
+                jnp.asarray(emb, jnp.float32)[None],
+                jnp.asarray(emb_trg, jnp.float32)[None],
+                jnp.asarray(f, jnp.float32)[None])
+            out = np.asarray(out[0])
+            if pad:
+                out = out[:-pad]
+            outs.append(out)
+        mel_autovc = np.concatenate(outs, axis=0)
+        return AudioFeatures(mel_autovc=mel_autovc, spk_emb=emb,
+                             mel_raw=mel, f0_norm=f0_norm)
+
+
+def normalize_audio_features(au: np.ndarray) -> np.ndarray:
+    """Dataset-side normalization by the vendored mean/std
+    (audio2landmark_dataset.py:47-53)."""
+    mean, std = assets.autovc_mel_au_mean_std()
+    return ((au - mean) / std).astype(np.float32)

@@ -21,6 +21,9 @@ import time
 
 import numpy as np
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 H = 256
 STEPS = int(os.environ.get("BENCH_STEPS", "20"))
