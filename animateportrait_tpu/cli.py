@@ -1,0 +1,192 @@
+"""CLI preserving the reference driver surface (`main_end2end_module2.py`):
+
+    animateportrait --jpg photo.jpg --audio speech.wav --exp formal/drawing
+
+plus the knobs the reference exposes (amp_lip_x/y, amp_pos, --output).
+Checkpoints are converted reference weights (see io.torch_convert and each
+model's load_*_params); point --ckpt_dir at a directory of .npz/.pth
+conversions. Missing checkpoints fall back to random init with a warning —
+the pipeline still runs end to end (useful for smoke/perf runs), but output
+is not meaningful portrait animation until real weights are supplied.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("animateportrait")
+    p.add_argument("--jpg", required=True, help="input face photo")
+    p.add_argument("--audio", required=True, help="input speech wav")
+    p.add_argument("--exp", default="formal/drawing",
+                   help="style: formal/drawing | formal/cartoon")
+    p.add_argument("--output", default="output")
+    p.add_argument("--ckpt_dir", default="checkpoints")
+    p.add_argument("--amp_lip_x", type=float, default=2.0)
+    p.add_argument("--amp_lip_y", type=float, default=2.0)
+    p.add_argument("--amp_pos", type=float, default=0.5)
+    p.add_argument("--gender", default="F", choices=["M", "F"])
+    p.add_argument("--frame_batch", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def _load_or_init(path, loader, init_fn, name):
+    if path and os.path.exists(path):
+        from animateportrait_tpu.io.torch_convert import load_torch_statedict
+
+        sd = load_torch_statedict(path)
+        return loader(sd)
+    print(f"[animateportrait] WARNING: no checkpoint for {name} "
+          f"({path}); using random init", file=sys.stderr)
+    import jax
+
+    # initialize on the host CPU backend: flax init compiles a full
+    # forward, which is wasted work on (and slow over) the TPU tunnel
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return init_fn()
+    with jax.default_device(cpu):
+        return init_fn()
+
+
+def build_pipeline(args):
+    import jax
+    import jax.numpy as jnp
+
+    from animateportrait_tpu.models import mtcnn as mtcnn_lib
+    from animateportrait_tpu.models.audio2landmark import (
+        Audio2landmarkContent, Audio2landmarkPos, load_content_params,
+        load_pos_params)
+    from animateportrait_tpu.models.autovc import (
+        AutoVCGenerator, load_autovc_params)
+    from animateportrait_tpu.models.flowunet import (
+        FlowUnet, load_flowunet_params)
+    from animateportrait_tpu.models.gan import (
+        ResnetStyle2Generator, TridentGeneratorFullIFW,
+        load_style2_params, load_trident_full_ifw_params)
+    from animateportrait_tpu.models.modnet import MODNet, load_modnet_params
+    from animateportrait_tpu.models.photo2cartoon import (
+        Photo2CartoonGenerator, load_photo2cartoon_params)
+    from animateportrait_tpu.pipeline.audio import AudioPipeline
+    from animateportrait_tpu.pipeline.end2end import TalkingPortraitPipeline
+    from animateportrait_tpu.pipeline.landmark import LandmarkPredictor
+    from animateportrait_tpu.pipeline.render import (
+        Module2Renderer, RendererVariables)
+
+    cd = args.ckpt_dir
+    key = jax.random.key(0)
+    style = "drawing" if "drawing" in args.exp else "cartoon"
+    nc = 1 if style == "drawing" else 3
+
+    # MTCNN weights ship with the reference mount when available
+    mtcnn_w = os.path.join("/root/reference/MTCNN/weights")
+    if not os.path.exists(os.path.join(mtcnn_w, "pnet.npy")):
+        mtcnn_w = os.path.join(cd, "mtcnn")
+    detector = mtcnn_lib.MTCNNDetector(
+        mtcnn_lib.load_pnet_params(os.path.join(mtcnn_w, "pnet.npy")),
+        mtcnn_lib.load_rnet_params(os.path.join(mtcnn_w, "rnet.npy")),
+        mtcnn_lib.load_onet_params(os.path.join(mtcnn_w, "onet.npy")),
+    )
+
+    T0 = 32
+    autovc_v = _load_or_init(
+        os.path.join(cd, "ckpt_autovc.pth"), load_autovc_params,
+        lambda: AutoVCGenerator().init(
+            key, jnp.zeros((1, T0, 80)), jnp.zeros((1, 256)),
+            jnp.zeros((1, 256)), jnp.zeros((1, T0, 257))), "autovc")
+    audio = AudioPipeline(autovc_v)
+
+    pos_v = _load_or_init(
+        os.path.join(cd, "ckpt_speaker_branch.pth"),
+        lambda sd: load_pos_params(sd.get("G", sd) if isinstance(
+            sd, dict) else sd),
+        lambda: Audio2landmarkPos().init(
+            key, jnp.zeros((4, 18, 80)), jnp.zeros((4, 256)),
+            jnp.zeros((1, 204)), jnp.zeros((4, 128))), "speaker branch")
+    cont_v = _load_or_init(
+        os.path.join(cd, "ckpt_content_branch.pth"),
+        lambda sd: load_content_params(sd),
+        lambda: Audio2landmarkContent().init(
+            key, jnp.zeros((4, 18, 80)), jnp.zeros((1, 204))),
+        "content branch")
+    predictor = LandmarkPredictor(pos_v, cont_v, amp_pos=args.amp_pos,
+                                  amp_lip_x=args.amp_lip_x,
+                                  amp_lip_y=args.amp_lip_y)
+
+    cs = 256
+    gen_v = _load_or_init(
+        os.path.join(cd, args.exp, "70_net_G_A.pth"),
+        lambda sd: load_trident_full_ifw_params(sd),
+        lambda: TridentGeneratorFullIFW(output_nc=nc, div=3, disp=3).init(
+            key, jnp.zeros((1, cs, cs, 3)), jnp.zeros((1, cs, cs, 1)),
+            jnp.zeros((1, cs, cs, 1)), jnp.zeros((1, cs, cs, 2)),
+            jnp.zeros((1, cs, cs, 2)), jnp.zeros((1, cs, cs, 1))),
+        f"generator {args.exp}")
+    flow_v = _load_or_init(
+        os.path.join(cd, "FlowReg_id_flow_faces", "best_net_netF.pth"),
+        load_flowunet_params,
+        lambda: FlowUnet().init(key, jnp.zeros((1, 224, 224, 136))),
+        "flow regressor")
+    modnet_v = _load_or_init(
+        os.path.join(cd, "modnet_photographic_portrait_matting.ckpt"),
+        load_modnet_params,
+        lambda: MODNet().init(key, jnp.zeros((1, cs, cs, 3))), "modnet")
+    static_v = None
+    cartoon_v = None
+    if style == "drawing":
+        static_v = _load_or_init(
+            os.path.join(cd, "static", "drawing.pth"), load_style2_params,
+            lambda: ResnetStyle2Generator().init(
+                key, jnp.zeros((1, 512, 512, 3)),
+                jnp.zeros((1, 128, 128, 3))), "static drawing net")
+    else:
+        cartoon_v = _load_or_init(
+            os.path.join(cd, "static", "cartoon.pt"),
+            lambda sd: load_photo2cartoon_params(sd),
+            lambda: Photo2CartoonGenerator().init(
+                key, jnp.zeros((1, cs, cs, 3))), "photo2cartoon")
+
+    renderer = Module2Renderer(
+        RendererVariables(generator=gen_v, flowunet=flow_v,
+                          modnet=modnet_v, static_drawing=static_v,
+                          photo2cartoon=cartoon_v),
+        style=style, output_nc=nc, frame_batch=args.frame_batch)
+
+    return TalkingPortraitPipeline(detector, predictor, audio, renderer)
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    import cv2
+
+    from animateportrait_tpu.pipeline.audio import load_wav
+    from animateportrait_tpu.utils.video import write_video_with_audio
+
+    pipeline = build_pipeline(args)
+    img = cv2.imread(args.jpg)
+    if img is None:
+        raise SystemExit(f"cannot read {args.jpg}")
+    wav = load_wav(args.audio)
+    out = pipeline(img, wav, gender=args.gender,
+                   rng=np.random.default_rng(args.seed))
+
+    base = "{}-{}".format(
+        os.path.splitext(os.path.basename(args.jpg))[0],
+        os.path.splitext(os.path.basename(args.audio))[0])
+    os.makedirs(os.path.join(args.output, base), exist_ok=True)
+    dst = os.path.join(args.output, base,
+                       f"output_{args.exp.replace('/', '_')}.avi")
+    path = write_video_with_audio(dst, out.frames, wav, fps=out.fps)
+    print(f"[animateportrait] wrote {path} "
+          f"({out.frames.shape[0]} frames @ {out.fps} fps)")
+    return path
+
+
+if __name__ == "__main__":
+    main()

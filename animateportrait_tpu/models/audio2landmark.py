@@ -381,3 +381,60 @@ def load_pos_params(sd) -> dict:
         "out_l2": tc.dense(sd, "out.4"),
     }
     return {"params": params}
+
+
+class Audio2landmarkSpeakerAware(nn.Module):
+    """Speaker-aware branch with head-pose head (pos_dim=7: quaternion +
+    translation), used by the speaker-branch trainer.
+
+    The reference has drifted here (SURVEY.md 2.13): the trainer calls
+    ``G(aus, embs*coef, face_id, add_z_spk=True)`` expecting 4 returns
+    (train_speaker_aware.py:260-263) while the matching 4-return forward is
+    the `_old` class with a `(au, face_id)` signature
+    (model_audio2landmark_speaker_aware.py:229-321). This module reconciles
+    the two: the pos-branch audio encoder + speaker MLP (as the trainer
+    feeds embs), the transformer encoder, the face-id-conditioned landmark
+    head, and the `out_pos_2` head.
+    """
+
+    spk_emb_enc_size: int = 128
+    transformer_d_model: int = 32
+    N: int = 2
+    heads: int = 2
+    pos_dim: int = 7
+
+    @nn.compact
+    def __call__(self, au, emb, face_id, add_z_spk: bool = False,
+                 z_rng=None, deterministic=True):
+        d_model = self.transformer_d_model * self.heads
+        audio_encode, _ = LSTM(256, 3, name="audio_content_encoder")(au)
+        audio_encode = audio_encode[:, -1, :]
+
+        s = _leaky(nn.Dense(256, name="spk_l0")(emb), 0.02)
+        s = _leaky(nn.Dense(128, name="spk_l1")(s), 0.02)
+        spk_encode = nn.Dense(self.spk_emb_enc_size, name="spk_l2")(s)
+        if add_z_spk:
+            z = jax.random.normal(
+                z_rng if z_rng is not None else self.make_rng("z_spk"),
+                spk_encode.shape) * 0.01
+            spk_encode = spk_encode + z
+
+        comb = jnp.concatenate([audio_encode, spk_encode], axis=1)
+        e_out = TransformerEncoder(
+            d_model, self.N, self.heads, name="encoder")(
+            comb[None], deterministic=deterministic)[0]
+
+        if face_id.shape[0] == 1:
+            face_id_t = jnp.broadcast_to(
+                face_id, (e_out.shape[0], face_id.shape[1]))
+        else:
+            face_id_t = face_id
+        fl_in = jnp.concatenate([e_out, face_id_t], axis=1)
+        y = _leaky(nn.Dense(512, name="fls_l0")(fl_in), 0.02)
+        y = _leaky(nn.Dense(256, name="fls_l1")(y), 0.02)
+        fl_pred = nn.Dense(FACE_ID_FEAT_SIZE, name="fls_l2")(y)
+
+        p = _leaky(nn.Dense(32, name="pos_l0")(e_out), 0.02)
+        p = _leaky(nn.Dense(16, name="pos_l1")(p), 0.02)
+        pos_pred = nn.Dense(self.pos_dim, name="pos_l2")(p)
+        return fl_pred, pos_pred, face_id[0:1, :], spk_encode

@@ -69,7 +69,9 @@ def blink_timestamps(length: int, rng: np.random.Generator,
                      k2: int = 15) -> list[int]:
     """Blink schedule: first at t=30, then every 60 + U[30, 90) frames
     (Module1/util/utils.py:372-379), drawn with an explicit Generator."""
-    stamps = [30]
+    # the reference appends t=30 unconditionally (utils.py:372) and would
+    # index out of bounds on clips shorter than ~31+K2 frames; guard it
+    stamps = [30] if 30 < length - 1 - k2 else []
     t = 30
     while t < length - 1 - k2:
         t += 60 + int(rng.integers(30, 90))

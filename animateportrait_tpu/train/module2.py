@@ -340,6 +340,22 @@ def build_train_step(cfg: Module2Config):
         a_681 = _with_edges(batch["A_lm_68"])
         tb_681 = _with_edges(batch["tB_lm_68"])
         tb2_681 = _with_edges(batch["tB2_lm_68"])
+        # warp grids: taken from the batch when precomputed, else derived
+        # on device from the landmarks (replacing the reference's per-item
+        # host-side scipy griddata, umlvd_ifw_dataset.py:409-425)
+        if "warp_motion" in batch:
+            warp_motion = batch["warp_motion"]
+            warp_motion2 = batch["warp_motion2"]
+        else:
+            from animateportrait_tpu.ops.tps import (
+                motion_grid_from_landmarks)
+
+            warp_motion = motion_grid_from_landmarks(
+                batch["A_lm_68"][:, :68], batch["tB_lm_68"][:, :68],
+                cfg.crop_size)
+            warp_motion2 = motion_grid_from_landmarks(
+                batch["A_lm_68"][:, :68], batch["tB2_lm_68"][:, :68],
+                cfg.crop_size)
         if cfg.blendbg:
             mask1 = sparse_image_warp(
                 mask, a_681[:, :, ::-1], tb_681[:, :, ::-1])[0]
@@ -354,16 +370,17 @@ def build_train_step(cfg: Module2Config):
         return dict(real_A_fore=real_A_fore, fakeB_static=fakeB_static,
                     iw_flow=iw_flow, if_mask=if_mask, iw_flow2=iw_flow2,
                     if_mask2=if_mask2, mask1=mask1, mask2=mask2,
+                    warp_motion=warp_motion, warp_motion2=warp_motion2,
                     fakeB_static_warp=fakeB_static_warp)
 
     def g_forward(g_params, batch, shared):
         fake_B = g_model.apply(
             {"params": g_params}, shared["real_A_fore"], batch["A_lm"],
-            batch["tB_lm"], batch["warp_motion"], shared["iw_flow"],
+            batch["tB_lm"], shared["warp_motion"], shared["iw_flow"],
             shared["if_mask"])
         fake_B2 = g_model.apply(
             {"params": g_params}, shared["real_A_fore"], batch["A_lm"],
-            batch["tB2_lm"], batch["warp_motion2"], shared["iw_flow2"],
+            batch["tB2_lm"], shared["warp_motion2"], shared["iw_flow2"],
             shared["if_mask2"])
         if cfg.blendbg:
             fb = shared["fakeB_static"]

@@ -1,0 +1,141 @@
+"""Training CLI with the reference's train.py flag surface.
+
+    python -m animateportrait_tpu.train_cli --dataroot <root> \
+        --name training/drawing1 --model geomgm_ifw_fore \
+        --netG resnet_9blocks_rcatland32_full_ifw --netg_resb_div 3 \
+        --netg_resb_disp 3 --output_nc 1 --lr 0.00005 --lambda_geom 50 ...
+
+Equivalent of `Module2/train.py:7-65`: dataset + model + epoch loop with
+loss printing, periodic checkpointing (Orbax), and linear lr decay — but
+the whole step is one jitted SPMD computation data-parallel over all
+devices, and frozen perception nets come from converted checkpoints in
+`--frozen_dir` (random init with a warning when absent).
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    from animateportrait_tpu.utils.options import (
+        archive_options, build_train_argparser, to_configs)
+
+    parser = build_train_argparser()
+    parser.add_argument("--frozen_dir", default="checkpoints",
+                        help="dir with converted frozen-net checkpoints")
+    parser.add_argument("--max_steps", type=int, default=0,
+                        help="stop after N steps (0 = run all epochs)")
+    args = parser.parse_args(argv)
+    print(archive_options(args))
+    cfg, data_cfg = to_configs(args)
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from animateportrait_tpu.data.umlvd_ifw import UMLVDIFWDataset
+    from animateportrait_tpu.io.checkpoint import CheckpointManager
+    from animateportrait_tpu.train import module2 as m2
+    from animateportrait_tpu.utils.observe import LossLogger, StepTimer
+
+    ds = UMLVDIFWDataset(data_cfg)
+    if len(ds.A_paths) == 0:
+        raise SystemExit(f"no photos under {data_cfg.root}/Photo")
+
+    n_dev = args.data_parallel or len(jax.devices())
+    devices = jax.devices()[:n_dev]
+    mesh = Mesh(np.array(devices), ("data",))
+    batch_sharding = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    per_step = max(args.batch_size, n_dev)
+
+    rng = jax.random.key(0)
+    example = m2.make_example_batch(cfg, batch_size=per_step)
+    state = m2.init_state(cfg, rng, example)
+
+    def load_frozen():
+        fd = args.frozen_dir
+        from animateportrait_tpu.io.torch_convert import (
+            load_torch_statedict)
+        from animateportrait_tpu.models.flowunet import load_flowunet_params
+        from animateportrait_tpu.models.modnet import load_modnet_params
+        from animateportrait_tpu.models.perception import (
+            load_mobilefacenet_params, load_sphere20a_params)
+
+        def opt(path, loader, fallback_key):
+            if os.path.exists(path):
+                return loader(load_torch_statedict(path))
+            print(f"[train] WARNING: missing frozen ckpt {path}; "
+                  "random init", file=sys.stderr)
+            return None
+
+        frozen = m2.init_frozen_random(rng, cfg.crop_size)
+        repl_map = {
+            "modnet": (os.path.join(
+                fd, "modnet_photographic_portrait_matting.ckpt"),
+                load_modnet_params),
+            "mobilefacenet": (os.path.join(
+                fd, "mobilefacenet_model_best.pth.tar"),
+                lambda sd: load_mobilefacenet_params(
+                    sd.get("state_dict", sd))),
+            "sphere": (os.path.join(fd, "sphere20a_20171020.pth"),
+                       load_sphere20a_params),
+            "flowunet": (os.path.join(
+                fd, "FlowReg_id_flow_faces", "best_net_netF.pth"),
+                load_flowunet_params),
+        }
+        updates = {}
+        for name, (path, loader) in repl_map.items():
+            v = opt(path, loader, name)
+            if v is not None:
+                updates[name] = v
+        return frozen.replace(**updates) if updates else frozen
+
+    frozen = load_frozen()
+    step_fn = jax.jit(m2.build_train_step(cfg))
+
+    state = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), state)
+    frozen = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl),
+                                    frozen)
+
+    logger = LossLogger(args.checkpoints_dir, args.name)
+    ckpt = CheckpointManager(
+        os.path.join(args.checkpoints_dir, args.name, "orbax"),
+        save_interval_steps=args.save_epoch_freq * cfg.steps_per_epoch)
+    if args.continue_train and ckpt.latest_step() is not None:
+        state = ckpt.restore(None, state)
+        print(f"[train] resumed from step {int(state.step)}")
+
+    np_rng = np.random.default_rng(0)
+    total_epochs = cfg.niter + cfg.niter_decay
+    step = int(state.step)
+    timer = StepTimer()
+    for epoch in range(step // cfg.steps_per_epoch + 1, total_epochs + 1):
+        for _ in range(cfg.steps_per_epoch):
+            idx = np_rng.integers(0, len(ds), size=per_step)
+            batch = ds.batch(list(idx), np_rng)
+            batch = {k: jax.device_put(jnp.asarray(v), batch_sharding)
+                     for k, v in batch.items()}
+            timer.data_done()
+            state, metrics = step_fn(state, batch, frozen,
+                                     jax.random.key(step))
+            step += 1
+            if step % args.print_freq == 0:
+                jax.block_until_ready(metrics)
+                t_comp, t_data = timer.step_done()
+                logger.log(epoch, step, metrics, t_comp, t_data)
+            else:
+                timer.step_done()
+            if args.max_steps and step >= args.max_steps:
+                ckpt.save(step, jax.device_get(state))
+                print(f"[train] stopped at max_steps={args.max_steps}")
+                return
+        ckpt.save(step, jax.device_get(state))
+        print(f"[train] epoch {epoch} done (step {step})")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Observability: loss logging, image-grid HTML dumps, profiler hooks.
+
+Visdom-free replacement for the reference's Visualizer
+(`Module2/util/visualizer.py`): scalar losses go to `loss_log.txt` (same
+format, :91-94,176+) and stdout; image snapshots go to a static HTML
+gallery (`util/html.py` equivalent, no dominate dependency); profiling
+uses `jax.profiler` traces — a capability the reference lacks entirely
+(SURVEY.md §5: wall-clock prints only).
+"""
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+import time
+
+import numpy as np
+
+
+class LossLogger:
+    """Append-only scalar log: stdout + loss_log.txt + metrics.jsonl."""
+
+    def __init__(self, directory: str, name: str = "experiment"):
+        self.dir = os.path.join(directory, name)
+        os.makedirs(self.dir, exist_ok=True)
+        self.log_path = os.path.join(self.dir, "loss_log.txt")
+        self.jsonl_path = os.path.join(self.dir, "metrics.jsonl")
+        with open(self.log_path, "a") as f:
+            now = time.strftime("%c")
+            f.write(f"================ Training Loss ({now}) ================\n")
+        self._t_last = time.time()
+
+    def log(self, epoch: int, iters: int, losses: dict,
+            t_comp: float | None = None, t_data: float | None = None):
+        """Reference print format (visualizer.py:176-190)."""
+        t_comp = t_comp if t_comp is not None else time.time() - self._t_last
+        self._t_last = time.time()
+        msg = "(epoch: %d, iters: %d, time: %.3f, data: %.3f) " % (
+            epoch, iters, t_comp, t_data or 0.0)
+        for k, v in losses.items():
+            msg += "%s: %.3f " % (k, float(v))
+        print(msg)
+        with open(self.log_path, "a") as f:
+            f.write(msg + "\n")
+        with open(self.jsonl_path, "a") as f:
+            f.write(json.dumps(
+                {"epoch": epoch, "iters": iters,
+                 **{k: float(v) for k, v in losses.items()}}) + "\n")
+
+    def save_visuals(self, visuals: dict, epoch: int):
+        """Image snapshot gallery: <dir>/web/images + index.html
+        (visualizer.py:107-143 without the visdom server)."""
+        import cv2
+
+        img_dir = os.path.join(self.dir, "web", "images")
+        os.makedirs(img_dir, exist_ok=True)
+        rows = []
+        for label, img in visuals.items():
+            arr = np.asarray(img)
+            if arr.ndim == 4:
+                arr = arr[0]
+            if arr.dtype != np.uint8:
+                arr = np.clip((arr + 1.0) * 127.5, 0, 255).astype(np.uint8)
+            if arr.shape[-1] == 1:
+                arr = np.repeat(arr, 3, axis=-1)
+            fn = f"epoch{epoch:03d}_{label}.png"
+            cv2.imwrite(os.path.join(img_dir, fn), arr[:, :, ::-1])
+            rows.append((label, fn))
+        index = os.path.join(self.dir, "web", "index.html")
+        with open(index, "w") as f:
+            f.write("<html><body><h1>Results</h1>\n")
+            f.write(f"<h3>epoch [{epoch}]</h3><table><tr>\n")
+            for label, fn in rows:
+                f.write(f"<td><p>{label}</p>"
+                        f"<img src='images/{fn}' width=256></td>\n")
+            f.write("</tr></table></body></html>\n")
+
+
+@contextlib.contextmanager
+def profile_trace(log_dir: str = "/tmp/jax_trace"):
+    """jax.profiler trace context — open in TensorBoard/XProf."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StepTimer:
+    """Per-step wall-clock stats (compute/data split like train.py:26-47)."""
+
+    def __init__(self):
+        self.t0 = time.time()
+        self.data_s = 0.0
+        self.comp_s = 0.0
+
+    def data_done(self):
+        now = time.time()
+        self.data_s = now - self.t0
+        self.t0 = now
+
+    def step_done(self):
+        now = time.time()
+        self.comp_s = now - self.t0
+        self.t0 = now
+        return self.comp_s, self.data_s

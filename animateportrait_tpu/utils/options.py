@@ -1,0 +1,152 @@
+"""Reference-CLI compatibility shim for training options.
+
+Maps the reference `Module2/train.py` / `test.py` flag surface
+(`options/base_options.py`, `train_options.py`, plus the model-injected
+flags of `geomgm_ifw_fore_model.modify_commandline_options`) onto the typed
+configs used by this framework, so the readme's exact training commands
+(readme.md:65-67) drive the TPU trainer:
+
+    python -m animateportrait_tpu.train_cli --dataroot drawing \
+        --name training/drawing1 --model geomgm_ifw_fore \
+        --netG resnet_9blocks_rcatland32_full_ifw ... (reference flags)
+
+Parsed options are also archived to `<ckpt>/<phase>_opt.txt` like the
+reference (base_options.py:89-112).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+from animateportrait_tpu.data.umlvd_ifw import DataConfig
+from animateportrait_tpu.train.module2 import Module2Config
+
+
+def build_train_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("animateportrait-train")
+    # base options (base_options.py)
+    p.add_argument("--dataroot", required=True)
+    p.add_argument("--name", default="experiment_name")
+    p.add_argument("--model", default="geomgm_ifw_fore")
+    p.add_argument("--netG", default="resnet_9blocks_rcatland32_full_ifw")
+    p.add_argument("--netD", default="basic")
+    p.add_argument("--n_layers_D", type=int, default=3)
+    p.add_argument("--ngf", type=int, default=64)
+    p.add_argument("--ndf", type=int, default=64)
+    p.add_argument("--input_nc", type=int, default=3)
+    p.add_argument("--output_nc", type=int, default=3)
+    p.add_argument("--norm", default="instance")
+    p.add_argument("--init_type", default="normal")
+    p.add_argument("--init_gain", type=float, default=0.02)
+    p.add_argument("--no_dropout", action="store_true")
+    p.add_argument("--load_size", type=int, default=286)
+    p.add_argument("--crop_size", type=int, default=256)
+    p.add_argument("--no_flip", action="store_true")
+    p.add_argument("--dataset_mode", default="umlvd_ifw")
+    p.add_argument("--checkpoints_dir", default="./checkpoints")
+    p.add_argument("--netg_resb_div", type=int, default=3)
+    p.add_argument("--netg_resb_disp", type=int, default=1)
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--phase", default="train")
+    p.add_argument("--display_env", default="main")  # accepted, unused
+    p.add_argument("--gpu_ids", default="0")         # accepted, unused
+    # train options (train_options.py)
+    p.add_argument("--niter", type=int, default=100)
+    p.add_argument("--niter_decay", type=int, default=100)
+    p.add_argument("--lr", type=float, default=0.0002)
+    p.add_argument("--beta1", type=float, default=0.5)
+    p.add_argument("--gan_mode", default="lsgan")
+    p.add_argument("--pool_size", type=int, default=50)
+    p.add_argument("--lr_policy", default="linear")
+    p.add_argument("--continue_train", action="store_true")
+    p.add_argument("--epoch", default="latest")
+    p.add_argument("--save_epoch_freq", type=int, default=5)
+    p.add_argument("--print_freq", type=int, default=100)
+    # model-injected flags (geomgm_ifw_fore_model.py:162-209)
+    p.add_argument("--lambda_geom", type=float, default=5.0)
+    p.add_argument("--lambda_geom_lipline", type=float, default=0.0)
+    p.add_argument("--lambda_G_A_l", type=float, default=0.5)
+    p.add_argument("--lambda_face", type=float, default=5.0)
+    p.add_argument("--lambda_warp", type=float, default=5.0)
+    p.add_argument("--lambda_warp_inter", type=float, default=5.0)
+    p.add_argument("--lambda_G_A_coh", type=float, default=0.5)
+    p.add_argument("--use_mask", type=int, default=1)
+    p.add_argument("--use_eye_mask", type=int, default=1)
+    p.add_argument("--use_lip_mask", type=int, default=1)
+    p.add_argument("--mask_type", type=int, default=3)
+    p.add_argument("--blendbg", type=int, default=0)
+    p.add_argument("--coherent", type=int, default=1)
+    p.add_argument("--coh_use_more", type=int, default=2)
+    p.add_argument("--check_fakeb2_in_backwardD", type=int, default=1)
+    p.add_argument("--identity_loss", type=int, default=2)
+    p.add_argument("--warp_loss", type=int, default=2)
+    p.add_argument("--more_weight_for_lip", type=int, default=2)
+    p.add_argument("--select_target12_thre", type=float, default=0.0)
+    p.add_argument("--select_noniden_thre", type=float, default=0.9)
+    p.add_argument("--max_offset", type=float, default=3.0)
+    # TPU-native extras
+    p.add_argument("--steps_per_epoch", type=int, default=1000)
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="devices in the DP mesh (0 = all)")
+    return p
+
+
+def to_configs(args: argparse.Namespace
+               ) -> tuple[Module2Config, DataConfig]:
+    cartoon = "cartoon" in args.model or "cartoon" in args.dataset_mode
+    m2 = Module2Config(
+        crop_size=args.crop_size,
+        output_nc=args.output_nc,
+        ngf=args.ngf, ndf=args.ndf, n_layers_d=args.n_layers_D,
+        netg_resb_div=args.netg_resb_div,
+        netg_resb_disp=args.netg_resb_disp,
+        lr=args.lr, beta1=args.beta1,
+        niter=args.niter, niter_decay=args.niter_decay,
+        steps_per_epoch=args.steps_per_epoch,
+        pool_size=args.pool_size, gan_mode=args.gan_mode,
+        lambda_geom=args.lambda_geom,
+        lambda_geom_lipline=args.lambda_geom_lipline,
+        lambda_g_a_l=args.lambda_G_A_l,
+        lambda_g_a_coh=args.lambda_G_A_coh,
+        lambda_face=args.lambda_face,
+        lambda_warp=args.lambda_warp,
+        lambda_warp_inter=args.lambda_warp_inter,
+        use_mask=bool(args.use_mask),
+        use_eye_mask=bool(args.use_eye_mask),
+        use_lip_mask=bool(args.use_lip_mask),
+        mask_type=args.mask_type,
+        blendbg=args.blendbg,
+        coherent=0 if cartoon else args.coherent,
+        coh_use_more=0 if cartoon else args.coh_use_more,
+        check_fakeb2_in_backward_d=bool(args.check_fakeb2_in_backwardD),
+        identity_loss=args.identity_loss,
+        warp_loss=args.warp_loss,
+        more_weight_for_lip=args.more_weight_for_lip,
+    )
+    data = DataConfig(
+        root=args.dataroot,
+        style_dir="Cartoon" if cartoon else "Drawing",
+        load_size=args.load_size, crop_size=args.crop_size,
+        no_flip=args.no_flip, output_nc=args.output_nc,
+        max_offset=args.max_offset,
+        select_target12_thre=args.select_target12_thre,
+        select_noniden_thre=args.select_noniden_thre,
+        coh_use_more=bool(args.coh_use_more) and not cartoon,
+        use_clips=not cartoon,
+    )
+    return m2, data
+
+
+def archive_options(args: argparse.Namespace) -> str:
+    """Print + save the full option set (base_options.py:89-112)."""
+    lines = ["----------------- Options ---------------"]
+    for k, v in sorted(vars(args).items()):
+        lines.append(f"{k}: {v}")
+    lines.append("----------------- End -------------------")
+    text = "\n".join(lines)
+    expr_dir = os.path.join(args.checkpoints_dir, args.name)
+    os.makedirs(expr_dir, exist_ok=True)
+    path = os.path.join(expr_dir, f"{args.phase}_opt.txt")
+    with open(path, "w") as f:
+        f.write(text + "\n")
+    return text

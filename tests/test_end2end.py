@@ -1,0 +1,94 @@
+"""Full-pipeline smoke test (photo + wav -> frames) with a stub detector and
+randomly initialized nets, plus video muxer round-trip."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+class StubDetector:
+    """Returns one fixed face box + 5-pt landmarks for any image."""
+
+    def __call__(self, img_rgb):
+        h, w = img_rgb.shape[:2]
+        box = np.array([[w * 0.25, h * 0.25, w * 0.75, h * 0.80, 0.99]])
+        cx, cy = w * 0.5, h * 0.5
+        xs = [cx - w * 0.12, cx + w * 0.12, cx, cx - w * 0.08,
+              cx + w * 0.08]
+        ys = [cy - h * 0.08, cy - h * 0.08, cy, cy + h * 0.12, cy + h * 0.12]
+        return box, np.array([xs + ys])
+
+
+def _small_pipeline():
+    from animateportrait_tpu.models.audio2landmark import (
+        Audio2landmarkContent, Audio2landmarkPos)
+    from animateportrait_tpu.models.autovc import AutoVCGenerator
+    from animateportrait_tpu.models.flowunet import FlowUnet
+    from animateportrait_tpu.models.gan import (
+        ResnetStyle2Generator, TridentGeneratorFullIFW)
+    from animateportrait_tpu.models.modnet import MODNet
+    from animateportrait_tpu.pipeline.audio import AudioPipeline
+    from animateportrait_tpu.pipeline.end2end import TalkingPortraitPipeline
+    from animateportrait_tpu.pipeline.landmark import LandmarkPredictor
+    from animateportrait_tpu.pipeline.render import (
+        Module2Renderer, RendererVariables)
+
+    k = jax.random.key(0)
+    cs = 256
+    autovc_v = AutoVCGenerator().init(
+        k, jnp.zeros((1, 32, 80)), jnp.zeros((1, 256)),
+        jnp.zeros((1, 256)), jnp.zeros((1, 32, 257)))
+    audio = AudioPipeline(autovc_v, chunk=512)
+
+    pos_v = Audio2landmarkPos().init(
+        k, jnp.zeros((4, 18, 80)), jnp.zeros((4, 256)),
+        jnp.zeros((1, 204)), jnp.zeros((4, 128)))
+    cont_v = Audio2landmarkContent().init(
+        k, jnp.zeros((4, 18, 80)), jnp.zeros((1, 204)))
+    predictor = LandmarkPredictor(pos_v, cont_v)
+
+    gen_v = TridentGeneratorFullIFW(output_nc=1, ngf=8, div=3, disp=3).init(
+        k, jnp.zeros((1, cs, cs, 3)), jnp.zeros((1, cs, cs, 1)),
+        jnp.zeros((1, cs, cs, 1)), jnp.zeros((1, cs, cs, 2)),
+        jnp.zeros((1, cs, cs, 2)), jnp.zeros((1, cs, cs, 1)))
+    flow_small = FlowUnet(nf=4, max_nf=64)
+    flow_v = flow_small.init(k, jnp.zeros((1, 224, 224, 136)))
+    modnet_v = MODNet().init(k, jnp.zeros((1, cs, cs, 3)))
+    style_small = ResnetStyle2Generator(ngf=8)
+    static_v = style_small.init(k, jnp.zeros((1, 512, 512, 3)),
+                                jnp.zeros((1, 128, 128, 3)))
+    renderer = Module2Renderer(
+        RendererVariables(generator=gen_v, flowunet=flow_v,
+                          modnet=modnet_v, static_drawing=static_v),
+        style="drawing", ngf=8, frame_batch=4,
+        flowunet=flow_small, static_g=style_small)
+    return TalkingPortraitPipeline(StubDetector(), predictor, audio,
+                                   renderer)
+
+
+@pytest.mark.slow
+def test_end_to_end_smoke(rng, tmp_path):
+    from animateportrait_tpu.utils.video import write_video_with_audio
+
+    pipe = _small_pipeline()
+    img = (rng.uniform(0, 255, (300, 280, 3))).astype(np.uint8)
+    wav = rng.uniform(-0.3, 0.3, 16000 // 2).astype(np.float64)  # 0.5 s
+
+    out = pipe(img, wav)
+    T = out.frames.shape[0]
+    assert T > 5
+    assert out.frames.shape[1:] == (256, 256, 1)
+    assert np.isfinite(out.frames).all()
+    assert out.landmarks.shape == (T, 68, 3)
+
+    path = write_video_with_audio(str(tmp_path / "out.avi"), out.frames,
+                                  wav, fps=out.fps)
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    assert n == T
+    assert abs(cap.get(cv2.CAP_PROP_FPS) - 62.5) < 0.1
