@@ -1,0 +1,357 @@
+"""Extended Module2 network zoo: remaining define_G/define_D entries.
+
+Covers the rest of the reference's registry (`Module2/models/networks.py`
+:123-247): the single-encoder conditional ResNet family (rcatland32 and its
+fw/fw2/ifw warped variants, :890-1190), UnetGenerator (:2423-2521),
+Regressor (:2524-2600), Combiner (:2178-2206), NLayerDiscriminatorCls
+(:2650-2718), the HED edge net (:2752-2837) and the ULP upper-landmark MLP
+(:2840-2859). The flagship trident generator lives in `models.gan`.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from animateportrait_tpu.models.gan import (
+    ConvINReLU, LandmarkEncoder, ResnetBlock, ResnetBlock2, StemConv7,
+    Upsample2x)
+from animateportrait_tpu.nn import (
+    ConvTranspose2dTorch, InstanceNorm, interpolate_bilinear,
+    max_pool_ceil, reflect_pad_2d)
+from animateportrait_tpu.ops.warp import grid_sample, warp_acc_flow
+
+
+class ConditionalResnetGenerator(nn.Module):
+    """Single-encoder landmark-conditioned ResNet family.
+
+    mode selects the reference variant:
+      - 'none':  resnet_9blocks_rcatland32 (:806-978) — no warping
+      - 'fw':    ..._fw (:979-1074) — grid-sample the 1/4-res bottleneck by
+                 the motion grid (bilinearly resized, align_corners=True)
+      - 'fw2':   ..._fw2 (:1075-1170) — grid-sample the full-res stem output
+      - 'ifw':   ..._ifw (:1171-1189) — double warp (motion + intrinsic
+                 flow) of the stem output, concatenated
+    __call__ signature follows the variant (motion/flow/ifmask optional).
+    """
+
+    output_nc: int = 3
+    ngf: int = 64
+    n_blocks: int = 9
+    div: int = 3
+    disp: int = 1
+    mode: str = "none"
+    padding_type: str = "reflect"
+
+    @nn.compact
+    def __call__(self, x_in, land1, land2, motion=None, flow=None,
+                 ifmask=None):
+        ngf = self.ngf
+        stem_ch = ngf // 2 if self.mode == "ifw" else ngf
+        x = StemConv7(stem_ch, name="stem")(x_in)
+        if self.mode == "fw2":
+            x = grid_sample(x, motion, align_corners=False)
+        elif self.mode == "ifw":
+            x1 = grid_sample(x, motion, align_corners=False)
+            x2 = warp_acc_flow(x, flow, mask=ifmask)
+            x = jnp.concatenate([x1, x2], axis=-1)
+        x = ConvINReLU(ngf * 2, stride=2, name="down0")(x)
+        x = ConvINReLU(ngf * 4, stride=2, name="down1")(x)
+        if self.mode == "fw":
+            size = x.shape[1:3]
+            m = interpolate_bilinear(motion, size, align_corners=True)
+            x = grid_sample(x, m, align_corners=False)
+
+        lenc = LandmarkEncoder(name="landmark_trans")
+        l1, l2 = lenc(land1), lenc(land2)
+        for i in range(self.n_blocks):
+            if (i + self.disp) % self.div == 0:
+                x = ResnetBlock2(ngf * 4, self.padding_type,
+                                 name=f"block{i}")(
+                    jnp.concatenate([x, l1, l2], axis=-1))
+            else:
+                x = ResnetBlock(ngf * 4, self.padding_type,
+                                name=f"block{i}")(x)
+        x = Upsample2x(ngf * 2, name="up0")(x)
+        x = Upsample2x(ngf, name="up1")(x)
+        x = reflect_pad_2d(x, 3)
+        x = nn.Conv(self.output_nc, (7, 7), padding=0, name="out")(x)
+        return jnp.tanh(x)
+
+
+class UnetSkipBlock(nn.Module):
+    outer_nc: int
+    inner_nc: int
+    inner: nn.Module | None = None
+    outermost: bool = False
+    innermost: bool = False
+    use_dropout: bool = False
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        y = x
+        if not self.outermost:
+            y = nn.leaky_relu(y, 0.2)
+        y = nn.Conv(self.inner_nc, (4, 4), strides=2, padding=1,
+                    name="down")(y)
+        if not (self.outermost or self.innermost):
+            y = InstanceNorm()(y)
+        if self.inner is not None:
+            y = self.inner(y, deterministic)
+        y = nn.relu(y)
+        y = ConvTranspose2dTorch(self.outer_nc, kernel=4, stride=2,
+                                 padding=1, output_padding=0,
+                                 name="up")(y)
+        if self.outermost:
+            return jnp.tanh(y)
+        y = InstanceNorm()(y)
+        if self.use_dropout and not (self.outermost or self.innermost):
+            y = nn.Dropout(0.5, deterministic=deterministic)(y)
+        return jnp.concatenate([x, y], axis=-1)
+
+
+class UnetGenerator(nn.Module):
+    """unet_128/unet_256 (networks.py:2423-2452): num_downs=7/8."""
+
+    output_nc: int = 3
+    num_downs: int = 8
+    ngf: int = 64
+    use_dropout: bool = False
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        ngf = self.ngf
+        block = UnetSkipBlock(ngf * 8, ngf * 8, innermost=True,
+                              name="inner")
+        for i in range(self.num_downs - 5):
+            block = UnetSkipBlock(ngf * 8, ngf * 8, inner=block,
+                                  use_dropout=self.use_dropout,
+                                  name=f"mid{i}")
+        block = UnetSkipBlock(ngf * 4, ngf * 8, inner=block, name="up4")
+        block = UnetSkipBlock(ngf * 2, ngf * 4, inner=block, name="up2")
+        block = UnetSkipBlock(ngf, ngf * 2, inner=block, name="up1")
+        block = UnetSkipBlock(self.output_nc, ngf, inner=block,
+                              outermost=True, name="outer")
+        return block(x, deterministic)
+
+
+class Regressor(nn.Module):
+    """11x11-patch -> scalar regressor, archs 1-5 (networks.py:2524-2600)."""
+
+    ngf: int = 64
+    arch: int = 1
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        ngf = self.ngf
+        if self.arch == 1:
+            x = nn.Conv(ngf, (3, 3), strides=2, padding=0, name="c0")(x)
+            x = nn.leaky_relu(x, 0.2)
+            return nn.Conv(1, (5, 5), padding=0, name="c1")(x)
+        if self.arch == 2:
+            x = nn.leaky_relu(nn.Conv(ngf, (3, 3), padding=0,
+                                      name="c0")(x), 0.2)
+            x = nn.Conv(ngf * 2, (3, 3), padding=0, name="c1")(x)
+            x = nn.leaky_relu(InstanceNorm()(x), 0.2)
+            x = nn.Conv(ngf * 4, (3, 3), padding=0, name="c2")(x)
+            x = nn.leaky_relu(InstanceNorm()(x), 0.2)
+            return nn.Conv(1, (5, 5), padding=0, name="c3")(x)
+        if self.arch == 3:
+            x = nn.leaky_relu(nn.Conv(ngf, (3, 3), padding=1,
+                                      name="c0")(x), 0.2)
+            return nn.Conv(1, (11, 11), padding=0, name="c1")(x)
+        if self.arch == 4:
+            for i, ch in enumerate((ngf, ngf * 2, ngf * 4)):
+                x = nn.leaky_relu(nn.Conv(ch, (3, 3), padding=1,
+                                          name=f"c{i}")(x), 0.2)
+            return nn.Conv(1, (11, 11), padding=0, name="c3")(x)
+        # arch 5: conv stack + FC-4096 head
+        for i, ch in enumerate((ngf, ngf * 2, ngf * 4)):
+            x = nn.leaky_relu(nn.Conv(ch, (3, 3), padding=1,
+                                      name=f"c{i}")(x), 0.2)
+        x = jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)
+        x = nn.relu(nn.Dense(4096, name="fc0")(x))
+        x = nn.Dropout(0.5, deterministic=deterministic)(x)
+        return nn.Dense(1, name="fc1")(x)
+
+
+class Combiner(nn.Module):
+    """7x7 stem + n ResBlocks + 7x7 tanh head (networks.py:2178-2206)."""
+
+    output_nc: int = 3
+    ngf: int = 64
+    n_blocks: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        x = StemConv7(self.ngf, name="stem")(x)
+        for i in range(self.n_blocks):
+            x = ResnetBlock(self.ngf, name=f"block{i}")(x)
+        x = reflect_pad_2d(x, 3)
+        x = nn.Conv(self.output_nc, (7, 7), padding=0, name="out")(x)
+        return jnp.tanh(x)
+
+
+class NLayerDiscriminatorCls(nn.Module):
+    """PatchGAN + n_class head (networks.py:2650-2718).
+
+    Returns (patch (N,h,w,1), class logits (N,n_class))."""
+
+    ndf: int = 64
+    n_layers: int = 3
+    n_class: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        ndf = self.ndf
+        x = nn.leaky_relu(nn.Conv(ndf, (4, 4), strides=2, padding=1,
+                                  name="conv0")(x), 0.2)
+        nf = 1
+        for n in range(1, self.n_layers):
+            nf = min(2 ** n, 8)
+            x = nn.Conv(ndf * nf, (4, 4), strides=2, padding=1,
+                        name=f"conv{n}")(x)
+            x = nn.leaky_relu(InstanceNorm()(x), 0.2)
+        feat = x
+        nf2 = min(2 ** self.n_layers, 8)
+        p = nn.Conv(ndf * nf2, (4, 4), strides=1, padding=1,
+                    name="p_conv0")(feat)
+        p = nn.leaky_relu(InstanceNorm()(p), 0.2)
+        patch = nn.Conv(1, (4, 4), strides=1, padding=1, name="p_out")(p)
+        c = nn.Conv(ndf * nf2, (4, 4), strides=2, padding=1,
+                    name="c_conv0")(feat)
+        c = nn.leaky_relu(InstanceNorm()(c), 0.2)
+        c = nn.Conv(ndf * nf2, (4, 4), strides=2, padding=1,
+                    name="c_conv1")(c)
+        c = nn.leaky_relu(InstanceNorm()(c), 0.2)
+        c = nn.Conv(self.n_class, (16, 16), padding=0, name="c_out")(c)
+        return patch, c.reshape(c.shape[0], -1)
+
+
+class HED(nn.Module):
+    """VGG16 5-side-output edge detector with BGR mean subtraction
+    (networks.py:2752-2837). Input RGB in [0,1]."""
+
+    @nn.compact
+    def __call__(self, x):
+        H, W = x.shape[1:3]
+        b = x[..., 2:3] * 255.0 - 104.00698793
+        g = x[..., 1:2] * 255.0 - 116.66876762
+        r = x[..., 0:1] * 255.0 - 122.67891434
+        y = jnp.concatenate([b, g, r], axis=-1)
+
+        def vgg_stage(y, chans, convs, name, pool):
+            if pool:
+                y = max_pool_ceil(y, 2, 2)
+            for i in range(convs):
+                y = nn.relu(nn.Conv(chans, (3, 3), padding=1,
+                                    name=f"{name}_c{i}")(y))
+            return y
+
+        s1 = vgg_stage(y, 64, 2, "vgg1", False)
+        s2 = vgg_stage(s1, 128, 2, "vgg2", True)
+        s3 = vgg_stage(s2, 256, 3, "vgg3", True)
+        s4 = vgg_stage(s3, 512, 3, "vgg4", True)
+        s5 = vgg_stage(s4, 512, 3, "vgg5", True)
+        scores = []
+        for i, s in enumerate((s1, s2, s3, s4, s5)):
+            sc = nn.Conv(1, (1, 1), padding=0, name=f"score{i}")(s)
+            scores.append(interpolate_bilinear(sc, (H, W),
+                                               align_corners=False))
+        comb = nn.Conv(1, (1, 1), padding=0, name="combine")(
+            jnp.concatenate(scores, axis=-1))
+        return jax.nn.sigmoid(comb)
+
+
+class ULP(nn.Module):
+    """68 -> N upper-landmark MLP (networks.py:2840-2859)."""
+
+    landmark_num: int = 17
+
+    @nn.compact
+    def __call__(self, lm68):
+        x = lm68.reshape(-1, 68 * 2)
+        for i in range(6):
+            x = nn.leaky_relu(nn.Dense(512, name=f"l{i}")(x), 0.2)
+        x = nn.Dense(self.landmark_num * 2, name="out")(x)
+        return x.reshape(-1, self.landmark_num, 2)
+
+
+def define_g(netg: str, output_nc: int = 3, ngf: int = 64,
+             n_blocks: int | None = None, div: int = 3, disp: int = 1,
+             **kw):
+    """Reference define_G registry (networks.py:123-201) -> flax module.
+
+    Trident sub-variants not yet re-implemented raise NotImplementedError
+    with a pointer to the closest available module.
+    """
+    from animateportrait_tpu.models.gan import (
+        ResnetGenerator, ResnetStyle2Generator, TridentGeneratorFullIFW)
+
+    nb = n_blocks
+    table = {
+        "resnet_9blocks": lambda: ResnetGenerator(
+            output_nc=output_nc, ngf=ngf, n_blocks=nb or 9),
+        "resnet_6blocks": lambda: ResnetGenerator(
+            output_nc=output_nc, ngf=ngf, n_blocks=nb or 6),
+        "resnet_style2_9blocks": lambda: ResnetStyle2Generator(
+            output_nc=output_nc, ngf=ngf, n_blocks=nb or 9, **kw),
+        "resnet_9blocks_rcatland32": lambda: ConditionalResnetGenerator(
+            output_nc=output_nc, ngf=ngf, n_blocks=nb or 9, div=div,
+            disp=disp, mode="none"),
+        "resnet_10blocks_rcatland32": lambda: ConditionalResnetGenerator(
+            output_nc=output_nc, ngf=ngf, n_blocks=nb or 10, div=div,
+            disp=disp, mode="none"),
+        "resnet_9blocks_rcatland32_fw": lambda: ConditionalResnetGenerator(
+            output_nc=output_nc, ngf=ngf, n_blocks=nb or 9, div=div,
+            disp=disp, mode="fw"),
+        "resnet_9blocks_rcatland32_fw2": lambda: ConditionalResnetGenerator(
+            output_nc=output_nc, ngf=ngf, n_blocks=nb or 9, div=div,
+            disp=disp, mode="fw2"),
+        "resnet_9blocks_rcatland32_ifw": lambda: ConditionalResnetGenerator(
+            output_nc=output_nc, ngf=ngf, n_blocks=nb or 9, div=div,
+            disp=disp, mode="ifw"),
+        "resnet_9blocks_rcatland32_full_ifw": lambda:
+            TridentGeneratorFullIFW(
+                output_nc=output_nc, ngf=ngf, n_blocks=nb or 9, div=div,
+                disp=disp),
+        "unet_128": lambda: UnetGenerator(output_nc=output_nc,
+                                          num_downs=7, ngf=ngf),
+        "unet_256": lambda: UnetGenerator(output_nc=output_nc,
+                                          num_downs=8, ngf=ngf),
+        "regressor": lambda: Regressor(ngf=ngf, **kw),
+        "combiner": lambda: Combiner(output_nc=output_nc, ngf=ngf, **kw),
+    }
+    if netg in table:
+        return table[netg]()
+    legacy = ("resnet_9blocks_rcatland", "resnet_9blocks_rcatland2",
+              "resnet_9blocks_rcatland3", "resnet_9blocks_rcatland4",
+              "resnet_9blocks_rcatland32_full_ifw_colorcoded",
+              "resnet_9blocks_rcatland32_full_ifw2",
+              "resnet_9blocks_rcatland32_full_ifw_single",
+              "resnet_9blocks_rcatland32_full_ifw_single2",
+              "resnet_9blocks_rcatland32_full_ifw_single3",
+              "resnet_9blocks_rcatland32_ifw_single2")
+    if netg in legacy:
+        raise NotImplementedError(
+            f"netG '{netg}' is a legacy/ablation variant of the trident "
+            "family not reachable from the shipped configs; use "
+            "'resnet_9blocks_rcatland32_full_ifw' or the "
+            "ConditionalResnetGenerator modes")
+    raise ValueError(f"unknown netG {netg}")
+
+
+def define_d(netd: str, ndf: int = 64, n_layers: int = 3, **kw):
+    """Reference define_D registry (networks.py:204-247)."""
+    from animateportrait_tpu.models.gan import (
+        NLayerDiscriminator, PixelDiscriminator)
+
+    if netd == "basic":
+        return NLayerDiscriminator(ndf=ndf, n_layers=3)
+    if netd == "n_layers":
+        return NLayerDiscriminator(ndf=ndf, n_layers=n_layers)
+    if netd == "pixel":
+        return PixelDiscriminator(ndf=ndf)
+    if netd == "cls":
+        return NLayerDiscriminatorCls(ndf=ndf, n_layers=n_layers, **kw)
+    raise ValueError(f"unknown netD {netd}")

@@ -45,7 +45,16 @@ def bench_jax() -> float:
     args = (mk((BATCH, H, H, 3)), mk((BATCH, H, H, 1)), mk((BATCH, H, H, 1)),
             mk((BATCH, H, H, 2)), mk((BATCH, H, H, 2)),
             jnp.ones((BATCH, H, H, 1), jnp.float32))
-    variables = model.init(jax.random.key(0), *args)
+    try:
+        init_dev = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        init_dev = jax.devices()[0]
+    with jax.default_device(init_dev):
+        variables = model.init(jax.random.key(0), *args)
+    if os.environ.get("BENCH_BF16"):
+        variables = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32
+            else x, variables)
     fwd = jax.jit(lambda *a: model.apply(variables, *a))
     out = fwd(*args)
     jax.block_until_ready(out)
