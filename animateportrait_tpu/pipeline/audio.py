@@ -20,9 +20,9 @@ import jax.numpy as jnp
 
 from animateportrait_tpu.models.autovc import AutoVCGenerator
 from animateportrait_tpu.ops import f0 as f0_ops
+from animateportrait_tpu.ops.pallas_stft import stft_magnitude_best
 from animateportrait_tpu.ops.spectral import (
-    mel_filterbank, quantize_f0_onehot, speaker_normalize_f0,
-    stft_magnitude)
+    mel_filterbank, quantize_f0_onehot, speaker_normalize_f0)
 from animateportrait_tpu.utils import assets
 
 SR = 16000
@@ -102,7 +102,8 @@ def extract_mel_and_f0(wav: np.ndarray, gender: str = "F",
 
     mel_fb = mel_filterbank(sr=SR, n_fft=N_FFT, n_mels=80, fmin=90.0,
                             fmax=7600.0)
-    mag = stft_magnitude(jnp.asarray(w, jnp.float32), n_fft=N_FFT, hop=HOP)
+    mag = stft_magnitude_best(jnp.asarray(w, jnp.float32), n_fft=N_FFT,
+                              hop=HOP)
     d_mel = mag @ jnp.asarray(mel_fb.T)
     min_level = np.exp(-100 / 20 * np.log(10))
     d_db = 20.0 * jnp.log10(jnp.maximum(min_level, d_mel)) - 16.0

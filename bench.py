@@ -55,31 +55,30 @@ def bench_jax() -> float:
         variables = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32
             else x, variables)
-    import jax.numpy as jnp2  # local alias for the loop body
+    # chain CHAIN forwards inside one jitted program (python-unrolled;
+    # lax.fori_loop is pathological on the remote-tunnel backend — each
+    # loop iteration costs a host round trip) so the measurement is
+    # device compute, not per-call dispatch latency.
+    chain = int(os.environ.get("BENCH_CHAIN", "8"))
 
-    def run_n(img, l1, l2, motion, flow, ifmask, n):
-        # chain n forwards on device (data dependency through the input)
-        # so the measurement is compute, not per-call dispatch over the
-        # TPU tunnel
-        def body(_, im):
-            out = model.apply(variables, im, l1, l2, motion, flow, ifmask)
-            delta = jnp2.tile(out, (1, 1, 1, im.shape[-1] // out.shape[-1]
-                                    if im.shape[-1] % out.shape[-1] == 0
-                                    else 1))
-            if delta.shape != im.shape:
-                delta = jnp2.zeros_like(im)
-            return im + 0.0 * delta.astype(im.dtype)
+    def run_chain(img, l1, l2, motion, flow, ifmask):
+        x = img
+        for _ in range(chain):
+            out = model.apply(variables, x, l1, l2, motion, flow, ifmask)
+            rep = img.shape[-1] // out.shape[-1]
+            x = x + 0.0 * jnp.tile(out, (1, 1, 1, rep)).astype(x.dtype)
+        return x
 
-        return jax.lax.fori_loop(0, n, body, img)
-
-    fwd_n = jax.jit(run_n, static_argnames=("n",))
-    out = fwd_n(*args, n=2)
+    fwd = jax.jit(run_chain)
+    out = fwd(*args)
     jax.block_until_ready(out)
+    reps = max(1, STEPS // chain)
     t0 = time.perf_counter()
-    out = fwd_n(*args, n=STEPS)
+    for _ in range(reps):
+        out = fwd(*args)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
-    return BATCH * STEPS / dt
+    return BATCH * chain * reps / dt
 
 
 def bench_torch_cpu() -> float | None:
