@@ -1,0 +1,62 @@
+"""Landmark visualization: colored curve drawing + sequence preview video.
+
+Reimplements the driver's `vis_landmark` (main_end2end_module2.py:46-67)
+and the Module1 landmark-preview writer (`Module1/util/vis.py`) on top of
+the ffmpeg-free muxer in `utils.video`.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+_CURVES = (
+    (list(range(0, 16)), (255, 144, 25), False),    # jaw
+    (list(range(17, 21)), (50, 205, 50), False),    # brows
+    (list(range(22, 26)), (50, 205, 50), False),
+    (list(range(27, 35)), (208, 224, 63), False),   # nose
+    (list(range(36, 41)), (71, 99, 255), True),     # eyes
+    (list(range(42, 47)), (71, 99, 255), True),
+    (list(range(48, 59)), (238, 130, 238), True),   # mouth
+    (list(range(60, 67)), (238, 130, 238), True),
+)
+
+
+def vis_landmark(height: int, width: int, shape: np.ndarray,
+                 linewidth: int = 2) -> np.ndarray:
+    """Colored 68-pt landmark sketch on white, BGR uint8 (driver :46-67)."""
+    import cv2
+
+    img = np.ones((height, width, 3), np.uint8) * 255
+    shape = np.asarray(shape).astype("int32")
+    lw = linewidth * (height // 256)
+    radius = height // 256
+
+    def draw_curve(idx, color, loop):
+        for i in idx:
+            cv2.line(img, (shape[i, 0], shape[i, 1]),
+                     (shape[i + 1, 0], shape[i + 1, 1]), color, lw)
+        if loop:
+            cv2.line(img, (shape[idx[0], 0], shape[idx[0], 1]),
+                     (shape[idx[-1] + 1, 0], shape[idx[-1] + 1, 1]),
+                     color, lw)
+
+    for idx, color, loop in _CURVES:
+        draw_curve(idx, color, loop)
+    for i in range(68):
+        cv2.circle(img, (shape[i, 0], shape[i, 1]), radius, (0, 0, 255), -1)
+    return img
+
+
+def landmark_sequence_video(path: str, fls: np.ndarray,
+                            wav: np.ndarray | None = None,
+                            size: int = 512, fps: float = 62.5) -> str:
+    """Render a landmark sequence (T, 68, 2+) to a preview video with
+    optional audio (Module1/util/vis.py equivalent, ffmpeg-free)."""
+    from animateportrait_tpu.utils.video import (
+        write_video, write_video_with_audio)
+
+    frames = np.stack([
+        vis_landmark(size, size, f[:, :2])[:, :, ::-1]  # BGR -> RGB
+        for f in np.asarray(fls)])
+    if wav is not None:
+        return write_video_with_audio(path, frames, wav, fps=fps)
+    return write_video(path, frames, fps=fps)
