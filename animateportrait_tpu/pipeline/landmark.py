@@ -162,11 +162,14 @@ class LandmarkPredictor:
         return solve_inverse_lip(fl)
 
     def __call__(self, au_windows: np.ndarray, emb: np.ndarray,
-                 face_id: np.ndarray) -> np.ndarray:
+                 face_id: np.ndarray, centerize_face: bool = False,
+                 no_y_rotation: bool = False) -> np.ndarray:
         """au_windows (T, 18, 80), emb (256,), face_id (1, 204) -> (T, 204).
 
         Segments of 512 windows; trailing segments shorter than 10 frames
-        are dropped, as in the reference (:284-285).
+        are dropped, as in the reference (:284-285). centerize_face /
+        no_y_rotation mirror __train_pass__'s optional post passes
+        (:313-331).
         """
         aus = jnp.asarray(au_windows, jnp.float32)
         face_id = jnp.asarray(face_id, jnp.float32).reshape(1, 204)
@@ -182,6 +185,57 @@ class LandmarkPredictor:
             outs.append(self._segment_jit(
                 seg, emb_t[j: j + SEG_BS], face_id))
         fl = jnp.concatenate(outs, axis=0)
+        fl = revise_nose_top(fl)
+        fl = savgol_filter(fl, 5, 3, axis=0)
+        out = np.asarray(fl)
+        if centerize_face:
+            out = self._centerize(out, np.asarray(face_id))
+        if no_y_rotation:
+            out = self._remove_y_rotation(out)
+        return out
+
+    @staticmethod
+    def _centerize(fl: np.ndarray, face_id: np.ndarray) -> np.ndarray:
+        """Shift every frame's centroid to the face-id centroid (:313-318)."""
+        std_m = face_id.reshape(1, 68, 3).mean(axis=1, keepdims=True)
+        f = fl.reshape(-1, 68, 3)
+        f = f - f.mean(axis=1, keepdims=True) + std_m
+        return f.reshape(-1, 204)
+
+    def _remove_y_rotation(self, fl: np.ndarray) -> np.ndarray:
+        """ICP to the canonical T-shape, zero the x-axis Euler rotation
+        (:320-331: keeps yaw/roll, removes pitch-axis term)."""
+        from scipy.spatial.transform import Rotation as R
+
+        from animateportrait_tpu.ops.geometry import icp
+        from animateportrait_tpu.utils import assets
+
+        std = assets.std_face_landmarks()
+        idx = list(assets.T_SHAPE_IDX)
+        std_t = std[idx]
+        out = fl.reshape(-1, 68, 3).copy()
+        for i in range(out.shape[0]):
+            T_mat, _ = icp(jnp.asarray(out[i, idx]), jnp.asarray(std_t))
+            T_mat = np.asarray(T_mat)
+            rot = R.from_matrix(T_mat[:3, :3]).as_euler("xyz")
+            rot = R.from_euler("xyz", [0.0, rot[1], rot[2]]).as_matrix()
+            pts = out[i] - T_mat[:3, 3]
+            out[i] = (np.hstack([rot, T_mat[:3, 3:4]])
+                      @ np.hstack([pts, np.ones((68, 1))]).T).T
+        return out.reshape(-1, 204)
+
+    def predict_content_only(self, au_windows: np.ndarray,
+                             face_id: np.ndarray) -> np.ndarray:
+        """test_wo_pos: content branch only (train_audio2landmark.py:353+),
+        calibrated and summed with the face id."""
+        aus = jnp.asarray(au_windows, jnp.float32)
+        face_id = jnp.asarray(face_id, jnp.float32).reshape(1, 204)
+        baseline, _ = self._C.apply(
+            self.content_variables, aus[:, 0:NUM_WINDOW_FRAMES, :], face_id)
+        baseline = calibrate_content(baseline, self.amp_lip_x,
+                                     self.amp_lip_y)
+        fl = baseline + face_id
+        fl = solve_inverse_lip(fl)
         fl = revise_nose_top(fl)
         fl = savgol_filter(fl, 5, 3, axis=0)
         return np.asarray(fl)
