@@ -1,0 +1,44 @@
+"""Orbax checkpoint round trips for the Module2 train state."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def test_trainstate_roundtrip(tmp_path):
+    from animateportrait_tpu.io.checkpoint import restore, save
+    from animateportrait_tpu.train.module2 import (
+        Module2Config, init_state, make_example_batch)
+
+    cfg = Module2Config(crop_size=64, output_nc=1, ngf=8, ndf=8,
+                        pool_size=2, steps_per_epoch=2)
+    state = init_state(cfg, jax.random.key(0),
+                       make_example_batch(cfg, 1))
+    state = state.replace(step=jnp.asarray(7, jnp.int32))
+    path = str(tmp_path / "ckpt")
+    save(path, state)
+    restored = restore(path, state)
+    assert int(restored.step) == 7
+    a = jax.tree_util.tree_leaves(state.g_params)
+    b = jax.tree_util.tree_leaves(restored.g_params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_checkpoint_manager(tmp_path):
+    from animateportrait_tpu.io.checkpoint import CheckpointManager
+    from animateportrait_tpu.train.module2 import (
+        Module2Config, init_state, make_example_batch)
+
+    cfg = Module2Config(crop_size=64, output_nc=1, ngf=8, ndf=8,
+                        pool_size=2, steps_per_epoch=2)
+    state = init_state(cfg, jax.random.key(0),
+                       make_example_batch(cfg, 1))
+    mgr = CheckpointManager(str(tmp_path / "mgr"), save_interval_steps=1)
+    assert mgr.latest_step() is None
+    mgr.save(1, state)
+    mgr.save(2, state.replace(step=jnp.asarray(2, jnp.int32)))
+    assert mgr.latest_step() == 2
+    restored = mgr.restore(None, state)
+    assert int(restored.step) == 2
+    mgr.close()
