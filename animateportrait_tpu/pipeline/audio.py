@@ -183,3 +183,24 @@ def normalize_audio_features(au: np.ndarray) -> np.ndarray:
     (audio2landmark_dataset.py:47-53)."""
     mean, std = assets.autovc_mel_au_mean_std()
     return ((au - mean) / std).astype(np.float32)
+
+
+def extract_stft_features(wav: np.ndarray, fps: int = 25
+                          ) -> np.ndarray:
+    """STFT-only 161-d features for the no-AutoVC path
+    (convert_single_wav_to_input, AutoVC...py:146-196): log power of a
+    scipy stft (nperseg 320 @ 25 fps), normalized by its max, with the last
+    2 video frames dropped for A/V alignment."""
+    from scipy.signal import stft as scipy_stft
+
+    win = {25: 320, 30: 356}[fps]
+    step = {25: 4, 30: 3}[fps]
+    # the reference feeds raw int16-scale samples (scipy wav.read without
+    # normalization); match that so the log-power max normalizer behaves
+    x = normalize_dbfs(np.asarray(wav, np.float64)) * 32768.0
+    _, _, zxx = scipy_stft(x, fs=SR, nperseg=win)
+    feats = np.log(np.abs(zxx) ** 2 + 1e-10)
+    feats /= np.max(feats)
+    fl_length = feats.shape[1] // step
+    feats = feats[:, : (fl_length - 2) * step]
+    return feats.T.astype(np.float32)

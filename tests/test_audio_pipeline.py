@@ -150,3 +150,13 @@ def test_audio_pipeline_chunks(rng):
     assert feats.mel_autovc.shape[1] == 80
     assert np.isfinite(feats.mel_autovc).all()
     assert feats.spk_emb.shape == (256,)
+
+
+def test_extract_stft_features(rng):
+    from animateportrait_tpu.pipeline.audio import extract_stft_features
+
+    wav = rng.standard_normal(16000).astype(np.float64) * 0.1
+    f = extract_stft_features(wav)
+    assert f.shape[1] == 161
+    assert f.shape[0] % 4 == 0
+    assert np.isfinite(f).all() and f.max() <= 1.0 + 1e-6
