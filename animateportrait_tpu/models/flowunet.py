@@ -24,8 +24,8 @@ from animateportrait_tpu.nn import ConvTranspose2dTorch, interpolate_bilinear
 
 class _BN(nn.Module):
     @nn.compact
-    def __call__(self, x):
-        return nn.BatchNorm(use_running_average=True, momentum=0.9,
+    def __call__(self, x, train: bool = False):
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                             epsilon=1e-5, name="bn")(x)
 
 
@@ -55,14 +55,14 @@ class FlowUnet(nn.Module):
     max_nf: int = 512
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         nf, max_nf = self.nf, self.max_nf
         # conv_downsample: 7x7 stem + log2(start_scale)=1 stride-2 conv
         x = nn.Conv(nf, (7, 7), padding=3, use_bias=False, name="stem")(x)
-        x = nn.leaky_relu(_BN(name="stem_bn")(x), 0.1)
+        x = nn.leaky_relu(_BN(name="stem_bn")(x, train), 0.1)
         x = nn.Conv(nf * 2, (3, 3), strides=2, padding=1, use_bias=False,
                     name="down_pre")(x)
-        x = nn.leaky_relu(_BN(name="down_pre_bn")(x), 0.1)
+        x = nn.leaky_relu(_BN(name="down_pre_bn")(x, train), 0.1)
         nc = nf * 2
 
         outer = [min(max_nf, nc * 2 ** l) for l in range(self.num_scale)]
@@ -79,7 +79,7 @@ class FlowUnet(nn.Module):
                         use_bias=False, name=f"down{l}")(inp)
             if l < self.num_scale - 1:
                 # innermost block has no downnorm (down = [relu, conv])
-                y = _BN(name=f"down{l}_bn")(y)
+                y = _BN(name=f"down{l}_bn")(y, train)
             skips.append(x)
             x = y
 
@@ -92,7 +92,7 @@ class FlowUnet(nn.Module):
             x = ConvTranspose2dTorch(
                 outer[l], kernel=4, stride=2, padding=1, output_padding=0,
                 use_bias=(l == 0), name=f"up{l}")(x)
-            x = _BN(name=f"up{l}_bn")(x)
+            x = _BN(name=f"up{l}_bn")(x, train)
             flow_pyr.insert(0, PredictFlow(name=f"flow{l}")(x))
             if l > 0:
                 x = jnp.concatenate([skips[l], x], axis=-1)
