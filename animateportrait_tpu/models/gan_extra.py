@@ -322,22 +322,34 @@ def define_g(netg: str, output_nc: int = 3, ngf: int = 64,
         "regressor": lambda: Regressor(ngf=ngf, **kw),
         "combiner": lambda: Combiner(output_nc=output_nc, ngf=ngf, **kw),
     }
+    variant = {
+        # landmark-image channel / warp-kind ablations of the trident family
+        "resnet_9blocks_rcatland32_full_ifw_colorcoded": dict(
+            warp="both", land_nc=3),
+        "resnet_9blocks_rcatland32_full_ifw2": dict(warp="dual_motion"),
+        "resnet_9blocks_rcatland32_full_ifw_single": dict(warp="motion"),
+        "resnet_9blocks_rcatland32_full_ifw_single3": dict(warp="motion"),
+        "resnet_9blocks_rcatland32_full_ifw_single2": dict(warp="flow"),
+        "resnet_9blocks_rcatland32_ifw_single2": dict(warp="flow"),
+    }
+    if netg in variant:
+        return TridentGeneratorVariant(
+            output_nc=output_nc, ngf=ngf, n_blocks=nb or 9, div=div,
+            disp=disp, **variant[netg])
+    if netg in ("resnet_9blocks_rcatland", "resnet_9blocks_rcatland3"):
+        # pre-32 revisions differing only in the landmark-encoder stride
+        # arrangement; served by the 32-variant conditional resnet
+        return ConditionalResnetGenerator(
+            output_nc=output_nc, ngf=ngf, n_blocks=nb or 9, div=div,
+            disp=disp, mode="none")
+    if netg == "resnet_9blocks_rcatland4":
+        return ConditionalResnetDualHead(
+            output_nc=output_nc, ngf=ngf, n_blocks=nb or 9, div=div)
+    if netg == "resnet_9blocks_rcatland2":
+        return ConditionalResnetWarped(
+            output_nc=output_nc, ngf=ngf, n_blocks=nb or 9, div=div)
     if netg in table:
         return table[netg]()
-    legacy = ("resnet_9blocks_rcatland", "resnet_9blocks_rcatland2",
-              "resnet_9blocks_rcatland3", "resnet_9blocks_rcatland4",
-              "resnet_9blocks_rcatland32_full_ifw_colorcoded",
-              "resnet_9blocks_rcatland32_full_ifw2",
-              "resnet_9blocks_rcatland32_full_ifw_single",
-              "resnet_9blocks_rcatland32_full_ifw_single2",
-              "resnet_9blocks_rcatland32_full_ifw_single3",
-              "resnet_9blocks_rcatland32_ifw_single2")
-    if netg in legacy:
-        raise NotImplementedError(
-            f"netG '{netg}' is a legacy/ablation variant of the trident "
-            "family not reachable from the shipped configs; use "
-            "'resnet_9blocks_rcatland32_full_ifw' or the "
-            "ConditionalResnetGenerator modes")
     raise ValueError(f"unknown netG {netg}")
 
 
@@ -355,3 +367,179 @@ def define_d(netd: str, ndf: int = 64, n_layers: int = 3, **kw):
     if netd == "cls":
         return NLayerDiscriminatorCls(ndf=ndf, n_layers=n_layers, **kw)
     raise ValueError(f"unknown netD {netd}")
+
+
+class TridentGeneratorVariant(nn.Module):
+    """The remaining trident (3-branch) generator variants
+    (networks.py:1467-2153), parameterized by warp kind:
+
+      - 'both'        full_ifw / full_ifw_colorcoded (land_nc=3): TPS grid
+                      + intrinsic flow, concatenated (channel-doubling)
+      - 'dual_motion' full_ifw2: two TPS grids, concatenated
+      - 'motion'      full_ifw_single / single3: TPS grid only (no doubling)
+      - 'flow'        full_ifw_single2 / ifw_single2: intrinsic flow only
+
+    Branch channel schemes follow the reference: doubling variants stem
+    branch 1 at ngf/2 and let the warp double it; single-warp variants stem
+    at ngf and widen in the strided convs instead.
+    """
+
+    output_nc: int = 3
+    ngf: int = 64
+    n_blocks: int = 9
+    div: int = 3
+    disp: int = 1
+    warp: str = "both"
+    land_nc: int = 1
+    padding_type: str = "reflect"
+
+    def _warp(self, x, motion, flow, ifmask, motion2, level):
+        from animateportrait_tpu.models.gan import double_feature_warping
+        from animateportrait_tpu.nn import interpolate_bilinear
+        from animateportrait_tpu.ops.warp import grid_sample, warp_acc_flow
+
+        if self.warp == "both":
+            return double_feature_warping(x, motion, flow, ifmask, level)
+        if level > 0:
+            size = x.shape[1:3]
+            scale = 2 ** level
+            if self.warp != "flow":
+                motion = interpolate_bilinear(motion, size,
+                                              align_corners=True)
+            if self.warp == "dual_motion":
+                motion2 = interpolate_bilinear(motion2, size,
+                                               align_corners=True)
+            elif self.warp == "flow":
+                flow = interpolate_bilinear(flow / scale, size,
+                                            align_corners=True)
+                ifmask = interpolate_bilinear(ifmask, size,
+                                              align_corners=True)
+        if self.warp == "dual_motion":
+            x1 = grid_sample(x, motion, align_corners=False)
+            x2 = grid_sample(x, motion2, align_corners=False)
+            return jnp.concatenate([x1, x2], axis=-1)
+        if self.warp == "motion":
+            return grid_sample(x, motion, align_corners=False)
+        return warp_acc_flow(x, flow, mask=ifmask)
+
+    @nn.compact
+    def __call__(self, x_in, land1, land2, motion=None, flow=None,
+                 ifmask=None, motion2=None):
+        ngf = self.ngf
+        doubling = self.warp in ("both", "dual_motion")
+        stem1 = ngf // 2 if doubling else ngf
+        b2_mid = ngf if doubling else ngf * 2
+        b3_mid2 = ngf * 2 if doubling else ngf * 4
+
+        w = lambda x, lv: self._warp(  # noqa: E731
+            x, motion, flow, ifmask, motion2, lv)
+
+        x1 = StemConv7(stem1, name="tri00")(x_in)
+        x1 = w(x1, 0)
+        x1 = ConvINReLU(ngf * 2, stride=2, name="tri01")(x1)
+        x1 = ConvINReLU(ngf * 4, stride=2, name="tri02")(x1)
+        x2 = StemConv7(ngf, name="tri10")(x_in)
+        x2 = ConvINReLU(b2_mid, stride=2, name="tri11")(x2)
+        x2 = w(x2, 1)
+        x2 = ConvINReLU(ngf * 4, stride=2, name="tri12")(x2)
+        x3 = StemConv7(ngf, name="tri20")(x_in)
+        x3 = ConvINReLU(ngf * 2, stride=2, name="tri21")(x3)
+        x3 = ConvINReLU(b3_mid2, stride=2, name="tri22")(x3)
+        x3 = w(x3, 2)
+
+        x = jnp.concatenate([x1, x2, x3], axis=-1)
+        x = nn.Conv(ngf * 4, (3, 3), padding=1, name="merge")(x)
+
+        lenc = LandmarkEncoder(name="landmark_trans")
+        l1, l2 = lenc(land1), lenc(land2)
+        for i in range(self.n_blocks):
+            if (i + self.disp) % self.div == 0:
+                x = ResnetBlock2(ngf * 4, self.padding_type,
+                                 name=f"block{i}")(
+                    jnp.concatenate([x, l1, l2], axis=-1))
+            else:
+                x = ResnetBlock(ngf * 4, self.padding_type,
+                                name=f"block{i}")(x)
+        x = Upsample2x(ngf * 2, name="up0")(x)
+        x = Upsample2x(ngf, name="up1")(x)
+        x = reflect_pad_2d(x, 3)
+        x = nn.Conv(self.output_nc, (7, 7), padding=0, name="out")(x)
+        return jnp.tanh(x)
+
+
+class ConditionalResnetDualHead(nn.Module):
+    """resnet_9blocks_rcatland4 (networks.py:2060-2176): shared encoder,
+    two landmark-conditioned block stacks + two decoders -> (out1, out2)."""
+
+    output_nc: int = 3
+    ngf: int = 64
+    n_blocks: int = 9
+    n_blocks2: int = 9
+    div: int = 3
+    padding_type: str = "reflect"
+
+    @nn.compact
+    def __call__(self, x_in, land1, land2):
+        ngf = self.ngf
+        x = StemConv7(ngf, name="stem")(x_in)
+        x = ConvINReLU(ngf * 2, stride=2, name="down0")(x)
+        x = ConvINReLU(ngf * 4, stride=2, name="down1")(x)
+        lenc = LandmarkEncoder(name="landmark_trans")
+        l1, l2 = lenc(land1), lenc(land2)
+
+        def stack(y, n, prefix):
+            for i in range(n):
+                if (i + 1) % self.div == 0:
+                    y = ResnetBlock2(ngf * 4, self.padding_type,
+                                     name=f"{prefix}block{i}")(
+                        jnp.concatenate([y, l1, l2], axis=-1))
+                else:
+                    y = ResnetBlock(ngf * 4, self.padding_type,
+                                    name=f"{prefix}block{i}")(y)
+            y = Upsample2x(ngf * 2, name=f"{prefix}up0")(y)
+            y = Upsample2x(ngf, name=f"{prefix}up1")(y)
+            y = reflect_pad_2d(y, 3)
+            y = nn.Conv(self.output_nc, (7, 7), padding=0,
+                        name=f"{prefix}out")(y)
+            return jnp.tanh(y)
+
+        return stack(x, self.n_blocks, "a_"), stack(x, self.n_blocks2,
+                                                    "b_")
+
+
+class ConditionalResnetWarped(nn.Module):
+    """resnet_9blocks_rcatland2 (networks.py:2208-2300): shared encoder for
+    the photo AND a pre-warped photo; conditioned blocks consume the warped
+    encoding instead of landmark images. __call__(input, warped)."""
+
+    output_nc: int = 3
+    ngf: int = 64
+    n_blocks: int = 9
+    div: int = 3
+    padding_type: str = "reflect"
+
+    @nn.compact
+    def __call__(self, x_in, warped):
+        ngf = self.ngf
+        stem = StemConv7(ngf, name="stem")
+        down0 = ConvINReLU(ngf * 2, stride=2, name="down0")
+        down1 = ConvINReLU(ngf * 4, stride=2, name="down1")
+
+        def encode(y):
+            return down1(down0(stem(y)))
+
+        x = encode(x_in)
+        x1 = encode(warped)  # shared weights (model11 is commented out)
+        for i in range(self.n_blocks):
+            if (i + 1) % self.div == 0:
+                x = ResnetBlock2(ngf * 4, self.padding_type,
+                                 name=f"block{i}")(
+                    jnp.concatenate([x, x1], axis=-1))
+            else:
+                x = ResnetBlock(ngf * 4, self.padding_type,
+                                name=f"block{i}")(x)
+        x = Upsample2x(ngf * 2, name="up0")(x)
+        x = Upsample2x(ngf, name="up1")(x)
+        x = reflect_pad_2d(x, 3)
+        x = nn.Conv(self.output_nc, (7, 7), padding=0, name="out")(x)
+        return jnp.tanh(x)

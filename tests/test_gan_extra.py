@@ -128,8 +128,8 @@ def test_registry_and_small_nets(rng):
     assert define_g("resnet_9blocks_rcatland32_full_ifw", output_nc=1)
     assert define_g("unet_256")
     assert define_d("basic")
-    with pytest.raises(NotImplementedError):
-        define_g("resnet_9blocks_rcatland32_full_ifw_single2")
+    with pytest.raises(ValueError):
+        define_g("no_such_netg")
 
     k = jax.random.key(0)
     x = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)), jnp.float32)
@@ -158,3 +158,49 @@ def test_registry_and_small_nets(rng):
     v = dcls.init(k, big)
     patch, cls = dcls.apply(v, big)
     assert patch.shape[0] == 1 and cls.shape == (1, 3)
+
+
+def test_trident_variant_family(rng):
+    import jax
+    from animateportrait_tpu.models.gan_extra import define_g
+
+    cs = 64
+    x = jnp.asarray(rng.uniform(-1, 1, (1, cs, cs, 3)), jnp.float32)
+    l1 = jnp.zeros((1, cs, cs, 1))
+    l3 = jnp.zeros((1, cs, cs, 3))
+    motion = jnp.asarray(rng.uniform(-1, 1, (1, cs, cs, 2)), jnp.float32)
+    flow = jnp.asarray(rng.standard_normal((1, cs, cs, 2)), jnp.float32)
+    mask = jnp.ones((1, cs, cs, 1))
+    k = jax.random.key(0)
+
+    cases = [
+        ("resnet_9blocks_rcatland32_full_ifw_colorcoded",
+         (x, l3, l3, motion, flow, mask)),
+        ("resnet_9blocks_rcatland32_full_ifw2",
+         (x, l1, l1, motion, None, None, motion)),
+        ("resnet_9blocks_rcatland32_full_ifw_single",
+         (x, l1, l1, motion)),
+        ("resnet_9blocks_rcatland32_full_ifw_single2",
+         (x, l1, l1, motion, flow, mask)),
+    ]
+    for name, args in cases:
+        g = define_g(name, output_nc=1, ngf=8, n_blocks=3)
+        v = g.init(k, *args)
+        out = g.apply(v, *args)
+        assert out.shape == (1, cs, cs, 1), name
+        assert np.isfinite(np.asarray(out)).all(), name
+
+    # dual head and warped-conditioning variants
+    g = define_g("resnet_9blocks_rcatland4", output_nc=1, ngf=8, n_blocks=3)
+    v = g.init(k, x, l1, l1)
+    o1, o2 = g.apply(v, x, l1, l1)
+    assert o1.shape == o2.shape == (1, cs, cs, 1)
+
+    g = define_g("resnet_9blocks_rcatland2", output_nc=1, ngf=8, n_blocks=3)
+    v = g.init(k, x, x)
+    out = g.apply(v, x, x)
+    assert out.shape == (1, cs, cs, 1)
+
+    # legacy rcatland names resolve
+    assert define_g("resnet_9blocks_rcatland", output_nc=1)
+    assert define_g("resnet_9blocks_rcatland3", output_nc=1)
