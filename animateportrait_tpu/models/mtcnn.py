@@ -283,14 +283,16 @@ class MTCNNDetector:
             keep = jnp.pad(keep, (0, pad))
         return cand, keep
 
-    def _detect(self, img, scales, h, w, thresholds, nms_thresholds):
+    def _stage1_all(self, img, scales, h, w, thresholds):
         cands, masks = [], []
         for s in scales:
             c, m = self._stage1_one_scale(img, s, h, w, thresholds[0])
             cands.append(c)
             masks.append(m)
-        cand = jnp.concatenate(cands, axis=0)
-        mask = jnp.concatenate(masks, axis=0)
+        return jnp.concatenate(cands, axis=0), jnp.concatenate(masks,
+                                                               axis=0)
+
+    def _stage23(self, img, cand, mask, thresholds, nms_thresholds):
 
         # cross-scale NMS on top-K2 survivors
         idx, vmask = topk_mask(cand[:, 4], mask, self.k2)
@@ -329,6 +331,10 @@ class MTCNNDetector:
         out_boxes = jnp.concatenate([boxes3, scores3[:, None]], axis=1)
         return out_boxes, landmarks, keep
 
+    def _detect(self, img, scales, h, w, thresholds, nms_thresholds):
+        cand, mask = self._stage1_all(img, scales, h, w, thresholds)
+        return self._stage23(img, cand, mask, thresholds, nms_thresholds)
+
     def __call__(self, img: np.ndarray, min_face_size: float = 20.0,
                  thresholds=(0.6, 0.7, 0.8),
                  nms_thresholds=(0.7, 0.7, 0.7)):
@@ -336,16 +342,35 @@ class MTCNNDetector:
 
         Returns (boxes (k, 5), landmarks (k, 10)) numpy arrays of the
         surviving detections (like MTCNN/detector.py:16-128).
+
+        Stage 1 compiles one small program per pyramid level and stages
+        2/3 compile once per (thresholds,) — a whole-cascade monolith took
+        ~19 min to compile over the remote-TPU tunnel; split programs
+        compile in seconds each and land in the persistent cache.
         """
         h, w = img.shape[:2]
         scales = tuple(pyramid_scales(h, w, min_face_size))
-        key = (h, w, scales, tuple(thresholds), tuple(nms_thresholds))
-        if key not in self._jit_cache:
-            self._jit_cache[key] = jax.jit(
-                lambda im: self._detect(im, scales, h, w, thresholds,
-                                        nms_thresholds)
-            )
-        boxes, lms, keep = self._jit_cache[key](
-            jnp.asarray(img, jnp.float32))
+        img_j = jnp.asarray(img, jnp.float32)
+
+        cands, masks = [], []
+        for s in scales:
+            k1 = ("s1", h, w, s, thresholds[0])
+            if k1 not in self._jit_cache:
+                self._jit_cache[k1] = jax.jit(
+                    lambda im, s=s: self._stage1_one_scale(
+                        im, s, h, w, thresholds[0]))
+            c, m = self._jit_cache[k1](img_j)
+            cands.append(c)
+            masks.append(m)
+        cand = jnp.concatenate(cands, axis=0)
+        mask = jnp.concatenate(masks, axis=0)
+
+        k23 = ("s23", h, w, cand.shape[0], tuple(thresholds),
+               tuple(nms_thresholds))
+        if k23 not in self._jit_cache:
+            self._jit_cache[k23] = jax.jit(
+                lambda im, c, m: self._stage23(im, c, m, thresholds,
+                                               nms_thresholds))
+        boxes, lms, keep = self._jit_cache[k23](img_j, cand, mask)
         keep = np.asarray(keep)
         return np.asarray(boxes)[keep], np.asarray(lms)[keep]
