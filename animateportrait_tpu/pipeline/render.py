@@ -113,7 +113,18 @@ class Module2Renderer:
                  frame_batch: int = 8, flowunet: FlowUnet | None = None,
                  modnet: MODNet | None = None,
                  static_g: ResnetStyle2Generator | None = None,
-                 cartoon_g: Photo2CartoonGenerator | None = None):
+                 cartoon_g: Photo2CartoonGenerator | None = None,
+                 use_bf16: bool = False):
+        if use_bf16:
+            # cast the per-frame generator to bfloat16 (the MXU-native
+            # dtype); the once-per-photo nets stay fp32 for fidelity
+            variables = dataclasses.replace(
+                variables,
+                generator=jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if hasattr(x, "dtype") and x.dtype == jnp.float32
+                    else x, variables.generator))
+        self.use_bf16 = use_bf16
         self.v = variables
         self.style = style
         nc = output_nc if output_nc is not None else (
@@ -178,8 +189,15 @@ class Module2Renderer:
         photo_b = jnp.broadcast_to(photo_fore,
                                    (B,) + photo_fore.shape[1:])
         a_lm_b = jnp.broadcast_to(a_lm_img, (B,) + a_lm_img.shape[1:])
-        fake_b = self.g.apply(self.v.generator, photo_b, a_lm_b,
-                              tb_lm_imgs, motions, flows, fmasks)
+        if self.use_bf16:
+            cast = lambda x: x.astype(jnp.bfloat16)  # noqa: E731
+            fake_b = self.g.apply(
+                self.v.generator, cast(photo_b), cast(a_lm_b),
+                cast(tb_lm_imgs), cast(motions), cast(flows),
+                cast(fmasks)).astype(jnp.float32)
+        else:
+            fake_b = self.g.apply(self.v.generator, photo_b, a_lm_b,
+                                  tb_lm_imgs, motions, flows, fmasks)
         mask1 = grid_sample(
             jnp.broadcast_to(mask, (B,) + mask.shape[1:]), motions,
             align_corners=True)
