@@ -60,3 +60,38 @@ def landmark_sequence_video(path: str, fls: np.ndarray,
     if wav is not None:
         return write_video_with_audio(path, frames, wav, fps=fps)
     return write_video(path, frames, fps=fps)
+
+
+_CURVES_98 = (
+    (list(range(0, 32)), (255, 144, 25), False),   # jaw
+    (list(range(33, 41)), (50, 205, 50), True),    # brows
+    (list(range(42, 50)), (50, 205, 50), True),
+    (list(range(51, 59)), (208, 224, 63), False),  # nose
+    (list(range(60, 67)), (71, 99, 255), True),    # eyes
+    (list(range(68, 75)), (71, 99, 255), True),
+    (list(range(76, 87)), (238, 130, 238), True),  # mouth
+    (list(range(88, 95)), (238, 130, 238), True),
+)
+
+
+def vis_landmark_on_img(img: np.ndarray, shape: np.ndarray,
+                        linewidth: int = 2,
+                        curves=_CURVES) -> np.ndarray:
+    """Draw landmark curves ONTO an existing image (in place), matching
+    `data_preparation.vis_landmark_on_img{,98}` (:197-263)."""
+    import cv2
+
+    shape = np.asarray(shape).astype("int32")
+    for idx, color, loop in curves:
+        for i in idx:
+            cv2.line(img, (shape[i, 0], shape[i, 1]),
+                     (shape[i + 1, 0], shape[i + 1, 1]), color, linewidth)
+        if loop:
+            cv2.line(img, (shape[idx[0], 0], shape[idx[0], 1]),
+                     (shape[idx[-1] + 1, 0], shape[idx[-1] + 1, 1]),
+                     color, linewidth)
+    return img
+
+
+def vis_landmark_on_img98(img, shape, linewidth=2):
+    return vis_landmark_on_img(img, shape, linewidth, _CURVES_98)

@@ -197,7 +197,51 @@ def bench_torch_cpu() -> float | None:
     return n / dt
 
 
+def bench_train_step() -> float:
+    """Full Module2 GAN train step (shipped drawing config shapes) on one
+    chip; returns steps/sec."""
+    import jax
+
+    from animateportrait_tpu.train.module2 import (
+        Module2Config, build_train_step, init_frozen_random, init_state,
+        make_example_batch)
+
+    bs = int(os.environ.get("BENCH_TRAIN_BATCH", "4"))
+    cfg = Module2Config()  # full 256px, ngf/ndf 64 drawing config
+    rng = jax.random.key(0)
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = jax.devices()[0]
+    with jax.default_device(cpu):
+        batch = make_example_batch(cfg, batch_size=bs)
+        state = init_state(cfg, rng, batch)
+        frozen = init_frozen_random(rng, cfg.crop_size)
+    dev = jax.devices()[0]
+    put = lambda t: jax.tree_util.tree_map(  # noqa: E731
+        lambda x: jax.device_put(x, dev), t)
+    state, batch, frozen = put(state), put(batch), put(frozen)
+    step = jax.jit(build_train_step(cfg), donate_argnums=(0,))
+    state, m = step(state, batch, frozen, jax.random.key(1))
+    jax.block_until_ready(m)
+    n = int(os.environ.get("BENCH_TRAIN_STEPS", "5"))
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, m = step(state, batch, frozen, jax.random.key(i))
+    jax.block_until_ready(m)
+    return n / (time.perf_counter() - t0)
+
+
 def main():
+    if os.environ.get("BENCH_TRAIN"):
+        sps = bench_train_step()
+        print(json.dumps({
+            "metric": "module2_train_steps_per_sec_256px",
+            "value": round(sps, 4),
+            "unit": "steps/sec/chip",
+            "vs_baseline": None,
+        }))
+        return
     fps = bench_jax()
     base = bench_torch_cpu()
     vs = (fps / base) if base else None
