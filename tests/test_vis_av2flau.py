@@ -59,3 +59,20 @@ def test_av2flau_converter(tmp_path, rng):
     # same rigid-registration residual for every frame (same input lm)
     assert np.abs(reg - anchor).mean() < np.abs(
         lm[list(assets.T_SHAPE_IDX)] - anchor).mean()
+
+
+def test_get_puppet_info(tmp_path):
+    import cv2
+    from animateportrait_tpu.utils.puppet import get_puppet_info
+
+    bound, scale, shift = get_puppet_info("cat", str(tmp_path))
+    assert bound.shape == (1, 16) and scale < 0 and shift.shape == (2,)
+
+    # generic branch
+    img = np.zeros((100, 120, 3), np.uint8)
+    cv2.imwrite(str(tmp_path / "mypuppet.png"), img)
+    np.savetxt(str(tmp_path / "mypuppet_scale_shift.txt"),
+               [-0.01, -10.0, -20.0])
+    bound, scale, shift = get_puppet_info("mypuppet", str(tmp_path))
+    assert bound.shape == (1, 24)
+    assert scale == -0.01 and tuple(shift) == (-10.0, -20.0)
