@@ -618,3 +618,77 @@ def init_frozen_random(rng, crop_size: int = 256) -> FrozenNets:
     flow = FlowUnet().init(k4, jnp.zeros((1, 224, 224, 136)))
     return FrozenNets(modnet=modnet, mobilefacenet=mfn, sphere=sphere,
                       flowunet=flow)
+
+
+def fsdp_param_shardings(params, mesh, axis: str = "data",
+                         min_size: int = 2 ** 16):
+    """FSDP-style NamedShardings: shard each large parameter's largest
+    axis divisible by the mesh size across `axis`; small leaves replicate.
+
+    The reference has no model parallelism (SURVEY.md §2.14) — this is
+    TPU-native headroom: with parameters sharded, XLA inserts all-gathers
+    on use and reduce-scatters on the gradients.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = mesh.shape[axis]
+
+    def spec_for(x):
+        if x.size < min_size:
+            return NamedSharding(mesh, P())
+        dims = list(x.shape)
+        order = sorted(range(len(dims)), key=lambda i: -dims[i])
+        for i in order:
+            if dims[i] % n == 0 and dims[i] >= n:
+                spec = [None] * len(dims)
+                spec[i] = axis
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec_for, params)
+
+
+def shard_state_fsdp(state: TrainState, mesh, axis: str = "data",
+                     min_size: int = 2 ** 16) -> TrainState:
+    """Apply FSDP shardings to G/D params and their Adam moments; the pool
+    and step stay replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+
+    def put_tree(tree, shardings):
+        return jax.tree_util.tree_map(jax.device_put, tree, shardings)
+
+    g_sh = fsdp_param_shardings(state.g_params, mesh, axis, min_size)
+    d_sh = fsdp_param_shardings(state.d_params, mesh, axis, min_size)
+
+    def shard_opt(opt_state, shardings):
+        # Adam state mirrors the param tree inside ScaleByAdamState
+        new = []
+        for part in opt_state:
+            if hasattr(part, "mu"):
+                part = part._replace(
+                    mu=put_tree(part.mu, shardings),
+                    nu=put_tree(part.nu, shardings),
+                    count=jax.device_put(part.count, repl))
+                new.append(part)
+            else:
+                new.append(jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, repl), part))
+        return tuple(new)
+
+    return state.replace(
+        g_params=put_tree(state.g_params, g_sh),
+        d_params=put_tree(state.d_params, d_sh),
+        g_opt=shard_opt(state.g_opt, g_sh),
+        d_opt=shard_opt(state.d_opt, d_sh),
+        pool=jax.device_put(state.pool, repl),
+        pool_count=jax.device_put(state.pool_count, repl),
+        step=jax.device_put(state.step, repl),
+    )
+
+
+def state_shardings(state: TrainState):
+    """The NamedSharding tree of a placed state (for jit out_shardings so
+    updated params keep their FSDP layout instead of being re-replicated)."""
+    return jax.tree_util.tree_map(lambda x: x.sharding, state)

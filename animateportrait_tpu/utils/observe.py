@@ -106,3 +106,18 @@ class StepTimer:
         self.comp_s = now - self.t0
         self.t0 = now
         return self.comp_s, self.data_s
+
+
+def grad_norms(grads) -> dict:
+    """Per-loss gradient-norm measurement (the reference's CalcGradNorm
+    context manager, intrinsic_flow_models/modules.py:180, and
+    diagnose_network's mean-|grad|, Module2/util/util.py:32-48): returns
+    {'global_norm': ..., 'mean_abs': ...} for a gradient PyTree."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves = jax.tree_util.tree_leaves(grads)
+    sq = sum(jnp.sum(jnp.square(g)) for g in leaves)
+    total = sum(jnp.sum(jnp.abs(g)) for g in leaves)
+    count = sum(g.size for g in leaves)
+    return {"global_norm": jnp.sqrt(sq), "mean_abs": total / max(count, 1)}

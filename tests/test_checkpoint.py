@@ -42,3 +42,12 @@ def test_checkpoint_manager(tmp_path):
     restored = mgr.restore(None, state)
     assert int(restored.step) == 2
     mgr.close()
+
+
+def test_grad_norms():
+    from animateportrait_tpu.utils.observe import grad_norms
+
+    g = {"a": jnp.asarray([3.0, 4.0]), "b": jnp.zeros((2, 2))}
+    out = grad_norms(g)
+    np.testing.assert_allclose(float(out["global_norm"]), 5.0, atol=1e-6)
+    np.testing.assert_allclose(float(out["mean_abs"]), 7.0 / 6.0, atol=1e-6)

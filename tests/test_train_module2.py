@@ -80,3 +80,36 @@ def test_train_step_dp_sharding():
     # params remain replicated and synchronized
     leaf = jax.tree_util.tree_leaves(state1.g_params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_train_step_dp_fsdp_sharding():
+    """DP batch sharding + FSDP parameter sharding over the 8-device mesh."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from animateportrait_tpu.train.module2 import (
+        shard_state_fsdp, state_shardings)
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = _small_cfg()
+    state, batch, frozen, step = _setup(cfg, batch_size=8)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    batch_sharding = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    batch = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, batch_sharding), batch)
+    state = shard_state_fsdp(state, mesh, min_size=2 ** 10)
+    frozen = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, repl), frozen)
+    # inputs actually sharded at this threshold
+    assert any(not x.sharding.is_fully_replicated
+               for x in jax.tree_util.tree_leaves(state.g_params))
+
+    jstep = jax.jit(step, out_shardings=(state_shardings(state), None))
+    state1, metrics = jstep(state, batch, frozen, jax.random.key(1))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    # at least one large G param is actually sharded
+    sharded = [x for x in jax.tree_util.tree_leaves(state1.g_params)
+               if not x.sharding.is_fully_replicated]
+    assert sharded, "no parameter ended up sharded"
