@@ -113,3 +113,38 @@ def test_train_step_dp_fsdp_sharding():
     sharded = [x for x in jax.tree_util.tree_leaves(state1.g_params)
                if not x.sharding.is_fully_replicated]
     assert sharded, "no parameter ended up sharded"
+
+
+def test_pool_query_semantics(rng):
+    """In-state image pool: fills first, then returns history ~50% and
+    swaps (image_pool.py:23-54 semantics)."""
+    from animateportrait_tpu.train.module2 import pool_query
+
+    H = 4
+    pool = jnp.zeros((4, H, H, 1))
+    count = jnp.zeros((), jnp.int32)
+
+    # filling phase: queries return the input images unchanged
+    imgs1 = jnp.ones((2, H, H, 1)) * 1.0
+    pool, count, out = pool_query(pool, count, imgs1, jax.random.key(0))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(imgs1))
+    assert int(count) == 2
+    imgs2 = jnp.ones((2, H, H, 1)) * 2.0
+    pool, count, out = pool_query(pool, count, imgs2, jax.random.key(1))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(imgs2))
+    assert int(count) == 4
+    # pool now holds the four inserted images
+    vals = sorted(float(v) for v in np.asarray(pool).reshape(4, -1)[:, 0])
+    assert vals == [1.0, 1.0, 2.0, 2.0]
+
+    # full phase: outputs are either the new image or a stored one, and
+    # history gets returned sometimes across keys
+    got_history = False
+    for i in range(20):
+        _, _, out = pool_query(pool, count, jnp.ones((2, H, H, 1)) * 9.0,
+                               jax.random.key(100 + i))
+        o = np.asarray(out).reshape(2, -1)[:, 0]
+        assert set(np.unique(o)) <= {1.0, 2.0, 9.0}
+        if (o != 9.0).any():
+            got_history = True
+    assert got_history
