@@ -114,3 +114,92 @@ def test_sparse_image_warp_moves_content():
     w = np.asarray(warped)[0, ..., 0]
     # mass should appear near row 40 now
     assert w[38:44, 30:34].sum() > w[28:34, 30:34].sum()
+
+
+def _ref_spline_solve(train_pts, train_vals, query, order=2):
+    """float64 numpy oracle of the reference interpolate_spline
+    (Module2/models/sparse_image_warp.py:84-217)."""
+    def phi(r2):
+        r2 = np.maximum(r2, 1e-10)
+        if order == 2:
+            return 0.5 * r2 * np.log(r2)  # 0.5*r^2*log(r^2) = r^2*log(r)
+        raise NotImplementedError
+
+    b, n, d = train_pts.shape
+    k = train_vals.shape[-1]
+    out = np.zeros((b, query.shape[1], k))
+    for i in range(b):
+        c = train_pts[i].astype(np.float64)
+        f = train_vals[i].astype(np.float64)
+        d2 = ((c[:, None] - c[None, :]) ** 2).sum(-1)
+        A = phi(d2)
+        ones = np.ones((n, 1))
+        V = np.concatenate([c, ones], axis=1)  # (n, d+1)
+        top = np.concatenate([A, V], axis=1)
+        bot = np.concatenate([V.T, np.zeros((d + 1, d + 1))], axis=1)
+        lhs = np.concatenate([top, bot], axis=0)
+        rhs = np.concatenate([f, np.zeros((d + 1, k))], axis=0)
+        wv = np.linalg.solve(lhs + 1e-8 * np.eye(n + d + 1), rhs)
+        w, v = wv[:n], wv[n:]
+        q = query[i].astype(np.float64)
+        qd2 = ((q[:, None] - c[None, :]) ** 2).sum(-1)
+        out[i] = phi(qd2) @ w + np.concatenate(
+            [q, np.ones((q.shape[0], 1))], axis=1) @ v
+    return out
+
+
+def test_spline_matches_reference_system(rng):
+    """Our normalized-scale solve agrees with the reference's raw-scale
+    float64 system on well-conditioned control points."""
+    pts = rng.uniform(20, 235, (1, 24, 2)).astype(np.float32)
+    vals = (rng.standard_normal((1, 24, 2)) * 5).astype(np.float32)
+    query = rng.uniform(0, 255, (1, 200, 2)).astype(np.float32)
+    ours = np.asarray(interpolate_spline(
+        jnp.asarray(pts), jnp.asarray(vals), jnp.asarray(query), order=2))
+    ref = _ref_spline_solve(pts, vals, query)
+    np.testing.assert_allclose(ours, ref, atol=0.15)
+
+
+def test_motion_grid_close_to_scipy_griddata(rng):
+    """motion_grid_from_landmarks vs the reference's cal_motion256 scipy
+    griddata (linear Delaunay). Methods differ (TPS vs piecewise linear),
+    so compare inside the face region with a loose tolerance."""
+    from scipy.interpolate import griddata
+
+    # realistic geometry: the canonical face scaled into the 256 frame
+    # (interior landmarks constrain the interpolation; a hollow ring
+    # exaggerates method differences between TPS and piecewise-linear)
+    from animateportrait_tpu.utils.assets import std_face_landmarks
+
+    std = std_face_landmarks()[:, :2]
+    src = (std - std.mean(0)) * 60 + 128
+    src[:, 1] *= -1
+    src[:, 1] += 256
+    src = np.clip(src, 20, 235)
+    dst = src + rng.uniform(-3, 3, src.shape)
+
+    ours = np.asarray(motion_grid_from_landmarks(
+        jnp.asarray(src[None], jnp.float32),
+        jnp.asarray(dst[None], jnp.float32), 256))[0]
+
+    # reference cal_motion256 (umlvdfw_test_dataset.py:67-81)
+    gx, gy = np.mgrid[0:255:256j, 0:255:256j]
+    edges = np.array([[0, 0], [255, 255], [0, 255], [255, 0], [0, 255],
+                      [255, 0], [255, 255], [255, 255]])
+    d = np.concatenate([dst[:, [1, 0]], edges])
+    s = np.concatenate([src[:, [1, 0]], edges])
+    gz = griddata(d, s, (gx, gy), method="linear")
+    map_x = gz[..., 1].astype(np.float32)
+    map_y = gz[..., 0].astype(np.float32)
+    ref = np.stack([map_x, map_y], -1) / 127.5 - 1.0
+
+    # compare on the central face region where both are well-constrained
+    c = slice(96, 160)
+    region_ref = ref[c, c]
+    region_ours = ours[c, c]
+    ok = np.isfinite(region_ref)
+    diff = np.abs(region_ours - region_ref)[ok]
+    # methods differ (smooth TPS vs piecewise-linear Delaunay); agreement
+    # should be sub-pixel-ish in the landmark-dense face interior
+    assert float(np.median(diff)) < 0.012   # ~1.5 px of 256
+    assert float(np.mean(diff)) < 0.025
