@@ -35,11 +35,22 @@ def build_argparser() -> argparse.ArgumentParser:
     return p
 
 
-def _load_or_init(path, loader, init_fn, name):
+def _load_or_init(path, loader, init_fn, name, unwrap=None):
+    """Load+convert a reference checkpoint, unwrapping the reference's
+    wrapper dicts (ckpt['model'], ['G'], ['model_g_face_id'], ['genA2B'])
+    when present; fall back to CPU-side random init."""
     if path and os.path.exists(path):
+        import torch
+
         from animateportrait_tpu.io.torch_convert import load_torch_statedict
 
         sd = load_torch_statedict(path)
+        if unwrap and not sd:
+            obj = torch.load(path, map_location="cpu", weights_only=False)
+            if unwrap in obj:
+                sd = {k: (v.detach().numpy() if hasattr(v, "detach")
+                          else np.asarray(v))
+                      for k, v in obj[unwrap].items()}
         return loader(sd)
     print(f"[animateportrait] WARNING: no checkpoint for {name} "
           f"({path}); using random init", file=sys.stderr)
@@ -99,22 +110,21 @@ def build_pipeline(args):
         os.path.join(cd, "ckpt_autovc.pth"), load_autovc_params,
         lambda: AutoVCGenerator().init(
             key, jnp.zeros((1, T0, 80)), jnp.zeros((1, 256)),
-            jnp.zeros((1, 256)), jnp.zeros((1, T0, 257))), "autovc")
+            jnp.zeros((1, 256)), jnp.zeros((1, T0, 257))), "autovc",
+        unwrap="model")
     audio = AudioPipeline(autovc_v)
 
     pos_v = _load_or_init(
-        os.path.join(cd, "ckpt_speaker_branch.pth"),
-        lambda sd: load_pos_params(sd.get("G", sd) if isinstance(
-            sd, dict) else sd),
+        os.path.join(cd, "ckpt_speaker_branch.pth"), load_pos_params,
         lambda: Audio2landmarkPos().init(
             key, jnp.zeros((4, 18, 80)), jnp.zeros((4, 256)),
-            jnp.zeros((1, 204)), jnp.zeros((4, 128))), "speaker branch")
+            jnp.zeros((1, 204)), jnp.zeros((4, 128))), "speaker branch",
+        unwrap="G")
     cont_v = _load_or_init(
-        os.path.join(cd, "ckpt_content_branch.pth"),
-        lambda sd: load_content_params(sd),
+        os.path.join(cd, "ckpt_content_branch.pth"), load_content_params,
         lambda: Audio2landmarkContent().init(
             key, jnp.zeros((4, 18, 80)), jnp.zeros((1, 204))),
-        "content branch")
+        "content branch", unwrap="model_g_face_id")
     predictor = LandmarkPredictor(pos_v, cont_v, amp_pos=args.amp_pos,
                                   amp_lip_x=args.amp_lip_x,
                                   amp_lip_y=args.amp_lip_y)
@@ -148,9 +158,10 @@ def build_pipeline(args):
     else:
         cartoon_v = _load_or_init(
             os.path.join(cd, "static", "cartoon.pt"),
-            lambda sd: load_photo2cartoon_params(sd),
+            load_photo2cartoon_params,
             lambda: Photo2CartoonGenerator().init(
-                key, jnp.zeros((1, cs, cs, 3))), "photo2cartoon")
+                key, jnp.zeros((1, cs, cs, 3))), "photo2cartoon",
+            unwrap="genA2B")
 
     renderer = Module2Renderer(
         RendererVariables(generator=gen_v, flowunet=flow_v,

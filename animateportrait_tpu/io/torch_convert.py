@@ -2,7 +2,7 @@
 
 The reference ships PyTorch checkpoints (`.pth` state dicts, `.npy` MTCNN
 weights). Our Flax modules keep torch-compatible parameter *layouts* for
-recurrent cells (see ``animateportrait_tpu.nn.LSTMCellTorch``) so conversion
+recurrent layers (see ``animateportrait_tpu.nn.LSTMLayerTorch``) so conversion
 is pure transposition / renaming, never re-derivation:
 
 - Conv2d   OIHW -> HWIO

@@ -17,8 +17,8 @@ import flax.linen as nn
 
 class _BN(nn.Module):
     @nn.compact
-    def __call__(self, x):
-        return nn.BatchNorm(use_running_average=True, momentum=0.9,
+    def __call__(self, x, train: bool = False):
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                             epsilon=1e-5, name="bn")(x)
 
 
@@ -28,13 +28,13 @@ class ResidualBlock(nn.Module):
     features: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         y = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
                     name="conv0")(x)
-        y = nn.relu(_BN(name="bn0")(y))
+        y = nn.relu(_BN(name="bn0")(y, train))
         y = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
                     name="conv1")(y)
-        y = _BN(name="bn1")(y)
+        y = _BN(name="bn1")(y, train)
         return nn.relu(x + y)
 
 
@@ -50,24 +50,24 @@ class ResUnetSkipBlock(nn.Module):
     innermost: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         y = nn.Conv(self.inner_nc, (3, 3), strides=2, padding=1,
                     use_bias=False, name="down")(x)
         if not (self.outermost or self.innermost):
-            y = _BN(name="down_bn")(y)
+            y = _BN(name="down_bn")(y, train)
         y = nn.relu(y)
-        y = ResidualBlock(self.inner_nc, name="down_res0")(y)
-        y = ResidualBlock(self.inner_nc, name="down_res1")(y)
+        y = ResidualBlock(self.inner_nc, name="down_res0")(y, train)
+        y = ResidualBlock(self.inner_nc, name="down_res1")(y, train)
         if self.inner is not None:
-            y = self.inner(y)
+            y = self.inner(y, train)
         y = _up2_nearest(y)
         y = nn.Conv(self.outer_nc, (3, 3), padding=1, use_bias=False,
                     name="up")(y)
         if self.outermost:
             return y
-        y = nn.relu(_BN(name="up_bn")(y))
-        y = ResidualBlock(self.outer_nc, name="up_res0")(y)
-        y = ResidualBlock(self.outer_nc, name="up_res1")(y)
+        y = nn.relu(_BN(name="up_bn")(y, train))
+        y = ResidualBlock(self.outer_nc, name="up_res0")(y, train)
+        y = ResidualBlock(self.outer_nc, name="up_res1")(y, train)
         return jnp.concatenate([x, y], axis=-1)
 
 
@@ -79,7 +79,7 @@ class ResUnetGenerator(nn.Module):
     ngf: int = 64
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         ngf = self.ngf
         block = ResUnetSkipBlock(ngf * 8, ngf * 8, innermost=True,
                                  name="inner")
@@ -91,7 +91,7 @@ class ResUnetGenerator(nn.Module):
         block = ResUnetSkipBlock(ngf, ngf * 2, inner=block, name="up1")
         block = ResUnetSkipBlock(self.output_nc, ngf, inner=block,
                                  outermost=True, name="outer")
-        return block(x)
+        return block(x, train)
 
 
 _VGG19_CFG = (64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",

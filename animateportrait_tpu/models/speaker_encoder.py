@@ -53,8 +53,36 @@ def wav_to_mel40(wav: np.ndarray, sr: int = 16000) -> np.ndarray:
     return np.asarray(power @ jnp.asarray(mel_fb.T))
 
 
+def preprocess_wav(wav: np.ndarray, sr: int = 16000,
+                   target_dbfs: float = -30.0,
+                   vad_window_ms: float = 30.0,
+                   vad_threshold: float = 0.01) -> np.ndarray:
+    """resemblyzer preprocess_wav equivalent: normalize volume to -30 dBFS
+    and trim long silences.
+
+    The real package uses webrtcvad (unavailable here); silence trimming is
+    substituted with a moving-RMS gate at `vad_threshold` of the post-
+    normalization full scale — a deliberate approximation with the same
+    role (drop long silent stretches so partial windows cover speech).
+    """
+    wav = np.asarray(wav, np.float64)
+    rms = np.sqrt(np.mean(np.square(wav))) or 1e-12
+    gain = 10 ** ((target_dbfs - 20 * np.log10(rms)) / 20.0)
+    wav = wav * gain
+    win = max(1, int(sr * vad_window_ms / 1000))
+    energy = np.sqrt(np.convolve(wav ** 2, np.ones(win) / win, "same"))
+    voiced = energy > vad_threshold
+    # dilate the mask so word-internal dips survive (webrtcvad smoothing)
+    k = win * 8
+    voiced = np.convolve(voiced.astype(np.float64),
+                         np.ones(k), "same") > 0
+    if voiced.any():
+        wav = wav[voiced]
+    return wav
+
+
 def embed_utterance(variables, wav: np.ndarray, sr: int = 16000,
-                    rate: float = 1.3, min_coverage: float = 0.75
+                    rate: float = 2.0, min_coverage: float = 0.75
                     ) -> np.ndarray:
     """Normalized mean of partial-window embeddings
     (resemblyzer VoiceEncoder.embed_utterance semantics)."""
@@ -85,8 +113,11 @@ def embed_utterance(variables, wav: np.ndarray, sr: int = 16000,
 
 def get_spk_emb(variables, wav: np.ndarray, sr: int = 16000,
                 segment_len: float = 60.0) -> np.ndarray:
-    """Reference get_spk_emb (speaker_emb.py:6-21): mean embedding over
-    60-second segments, renormalized."""
+    """Reference get_spk_emb (speaker_emb.py:6-21): preprocess (volume
+    normalize + silence trim), then the mean embedding over 60-second
+    segments (embed_utterance rate=2 as the reference passes),
+    renormalized."""
+    wav = preprocess_wav(wav, sr)
     n = int(segment_len * sr)
     embs = [embed_utterance(variables, wav[i: i + n], sr)
             for i in range(0, max(1, len(wav)), n)

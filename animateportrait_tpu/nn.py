@@ -156,35 +156,6 @@ def interpolate_bilinear(x, size, align_corners: bool = False):
     return sample_bilinear(x, iy, ix, padding_mode="border")
 
 
-class LSTMCellTorch(nn.Module):
-    """LSTM cell with torch gate order (i, f, g, o) and torch param layout.
-
-    Weight shapes: w_ih (4H, I), w_hh (4H, H), b_ih (4H,), b_hh (4H,) —
-    matching torch nn.LSTM so checkpoint conversion is a direct copy.
-    """
-
-    hidden: int
-
-    @nn.compact
-    def __call__(self, carry, x):
-        h, c = carry
-        input_dim = x.shape[-1]
-        k = 1.0 / jnp.sqrt(self.hidden)
-
-        def unif(key, shape):
-            return jax.random.uniform(key, shape, jnp.float32, -k, k)
-
-        w_ih = self.param("w_ih", unif, (4 * self.hidden, input_dim))
-        w_hh = self.param("w_hh", unif, (4 * self.hidden, self.hidden))
-        b_ih = self.param("b_ih", unif, (4 * self.hidden,))
-        b_hh = self.param("b_hh", unif, (4 * self.hidden,))
-        z = x @ w_ih.T + h @ w_hh.T + b_ih + b_hh
-        i, f, g, o = jnp.split(z, 4, axis=-1)
-        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
-        return (h_new, c_new), h_new
-
-
 class LSTMLayerTorch(nn.Module):
     """One LSTM direction over (B, T, F), torch param layout.
 
@@ -263,35 +234,6 @@ class LSTM(nn.Module):
                 out = ys_f
                 final_states.append(carry_f)
         return out, final_states
-
-
-class GRUCellTorch(nn.Module):
-    """GRU cell with torch gate order (r, z, n) and torch param layout."""
-
-    hidden: int
-
-    @nn.compact
-    def __call__(self, carry, x):
-        h = carry
-        input_dim = x.shape[-1]
-        k = 1.0 / jnp.sqrt(self.hidden)
-
-        def unif(key, shape):
-            return jax.random.uniform(key, shape, jnp.float32, -k, k)
-
-        w_ih = self.param("w_ih", unif, (3 * self.hidden, input_dim))
-        w_hh = self.param("w_hh", unif, (3 * self.hidden, self.hidden))
-        b_ih = self.param("b_ih", unif, (3 * self.hidden,))
-        b_hh = self.param("b_hh", unif, (3 * self.hidden,))
-        gi = x @ w_ih.T + b_ih
-        gh = h @ w_hh.T + b_hh
-        ir, iz, in_ = jnp.split(gi, 3, axis=-1)
-        hr, hz, hn = jnp.split(gh, 3, axis=-1)
-        r = jax.nn.sigmoid(ir + hr)
-        z = jax.nn.sigmoid(iz + hz)
-        n = jnp.tanh(in_ + r * hn)
-        h_new = (1 - z) * n + z * h
-        return h_new, h_new
 
 
 class GRULayerTorch(nn.Module):

@@ -32,7 +32,8 @@ def align_face(img_bgr: np.ndarray, boxes: np.ndarray,
     height, width = img_bgr.shape[:2]
     maxs = 0
     best = None
-    for face in boxes:
+    best_idx = -1
+    for k, face in enumerate(boxes):
         x1, y1, x2, y2 = face[:4]
         w = x2 - x1 + 1
         h = y2 - y1 + 1
@@ -45,6 +46,7 @@ def align_face(img_bgr: np.ndarray, boxes: np.ndarray,
             x11 = int(cx - size1 // 2)
             y11 = int(cy - (size1 * 11) // 20)
             best = (x11, y11, size1)
+            best_idx = k
     if best is None:
         raise ValueError("no face detected")
     x11, y11, size1 = best
@@ -57,7 +59,7 @@ def align_face(img_bgr: np.ndarray, boxes: np.ndarray,
                          interpolation=cv2.INTER_CUBIC)
     scale = out_size / size1
     offset = np.array([x11, y11], np.float64)
-    return aligned, np.array([scale, offset[0], offset[1]])
+    return aligned, np.array([scale, offset[0], offset[1]]), best_idx
 
 
 def _similarity_fit(src: np.ndarray, dst: np.ndarray
@@ -106,10 +108,7 @@ def detect_and_align(img_bgr: np.ndarray, detector,
     boxes, lms = detector(rgb)
     if len(boxes) == 0:
         raise ValueError("no face detected")
-    aligned, (scale, ox, oy) = align_face(img_bgr, boxes, out_size)
-    # use the largest face's landmarks (same criterion as align_face)
-    sizes = [(min(b[2] - b[0], b[3] - b[1]) * 1.2) for b in boxes]
-    k = int(np.argmax(sizes))
+    aligned, (scale, ox, oy), k = align_face(img_bgr, boxes, out_size)
     lm = np.asarray(lms[k], np.float64)
     five = np.stack([lm[:5], lm[5:]], axis=1)  # (5, 2) (x, y)
     five[:, 0] = (five[:, 0] - ox) * scale

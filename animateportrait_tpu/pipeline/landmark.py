@@ -36,9 +36,7 @@ def sliding_windows(au: np.ndarray, window: int = NUM_WINDOW_FRAMES,
     reference collate (`audio2landmark_dataset.py:63-84`, which drops the
     final window via ``range(0, T - window)``)."""
     T = au.shape[0]
-    n = max(0, (T - window + step - 1) // step)
     idx = np.arange(0, T - window, step)[:, None] + np.arange(window)[None, :]
-    del n
     return au[idx]
 
 
@@ -72,19 +70,27 @@ def calibrate_content(baseline: jax.Array, amp_lip_x: float,
     return out
 
 
-def _inverse_lip_fix_frame(cur: jax.Array, prev: jax.Array) -> jax.Array:
+def _collapse_inner_lip(f: jax.Array) -> jax.Array:
+    """Swap-collapse inner lip pairs 63<->65, 62<->66, 61<->67 (the first
+    half of the reference's inversion fix). f: (68, 3)."""
+    for up, lo in ((63, 65), (62, 66), (61, 67)):
+        mean = 0.5 * (f[up] + f[lo])
+        f = f.at[lo].set(mean)
+        f = f.at[up].set(mean)
+    return f
+
+
+def _inverse_lip_fix_frame(cur: jax.Array, prev: jax.Array,
+                           y_transfer: bool = True) -> jax.Array:
     """Apply the reference's mouth-inversion fix to one (204,) frame given
     the (already fixed) previous frame (train_audio2landmark.py:594-617)."""
     fls = cur.reshape(68, 3)
     area = area_of_signed_polygon(fls[60:68, 0:2])
 
     def fix(c):
-        f = c.reshape(68, 3)
-        # swap-collapse inner lip pairs 63<->65, 62<->66, 61<->67
-        for up, lo in ((63, 65), (62, 66), (61, 67)):
-            mean = 0.5 * (f[up] + f[lo])
-            f = f.at[lo].set(mean)
-            f = f.at[up].set(mean)
+        f = _collapse_inner_lip(c.reshape(68, 3))
+        if not y_transfer:
+            return f.reshape(204)
         p = prev.reshape(68, 3)
         # y-only transfers keyed to the previous frame
         f = f.at[jnp.arange(55, 59), 1].set(
@@ -102,11 +108,13 @@ def _inverse_lip_fix_frame(cur: jax.Array, prev: jax.Array) -> jax.Array:
 def solve_inverse_lip(fl: jax.Array) -> jax.Array:
     """Sequential mouth-inversion fix over a (T, 204) segment via lax.scan.
 
-    Frame 0 references itself (reference's ``p = max(j-1, 0)``): its y
-    transfers are no-ops, so only the swap-collapse is applied; the scan
-    then carries each *fixed* frame as the next frame's reference.
+    Frame 0 references itself (reference's ``p = max(j-1, 0)``): because
+    numpy evaluates each in-place statement against the CURRENT row, the
+    frame-0 y transfers cancel exactly — so frame 0 gets only the
+    swap-collapse, and the scan then carries each *fixed* frame as the
+    next frame's reference.
     """
-    first = _inverse_lip_fix_frame(fl[0], fl[0])
+    first = _inverse_lip_fix_frame(fl[0], fl[0], y_transfer=False)
 
     def step(prev, cur):
         fixed = _inverse_lip_fix_frame(cur, prev)

@@ -54,7 +54,7 @@ def build_image_translation_train_step(cfg: ImageTranslationConfig,
     def loss_fn(params, batch_stats, image_in, image_out):
         g_out, updates = model.apply(
             {"params": params, "batch_stats": batch_stats}, image_in,
-            mutable=["batch_stats"])
+            train=True, mutable=["batch_stats"])
         l1 = jnp.mean(jnp.abs(g_out - image_out))
         if cfg.use_vgg and vgg_variables is not None:
             lv, ls = vgg_loss(vgg_variables, g_out, image_out, style=True)

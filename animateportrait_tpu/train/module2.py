@@ -211,7 +211,10 @@ def pool_query(pool, count, imgs, rng):
     B = imgs.shape[0]
     psize = pool.shape[0]
     k1, k2 = jax.random.split(rng)
-    use_hist = jax.random.uniform(k1, (B,)) > 0.5
+    # history may only be returned once the pool was full BEFORE this
+    # query (the reference pool never returns an unfilled slot,
+    # image_pool.py:33-49)
+    use_hist = (jax.random.uniform(k1, (B,)) > 0.5) & (count >= psize)
     slots = jax.random.randint(k2, (B,), 0, psize)
     idx = jnp.arange(B)
     fill_slot = jnp.clip(count + idx, 0, psize - 1)
@@ -337,9 +340,19 @@ def build_train_step(cfg: Module2Config):
             frozen.flowunet, batch["A_lm_68"], batch["tB2_lm_68"],
             cfg.crop_size)
 
-        a_681 = _with_edges(batch["A_lm_68"])
-        tb_681 = _with_edges(batch["tB_lm_68"])
-        tb2_681 = _with_edges(batch["tB2_lm_68"])
+        # control points for the TPS warps: with blendbg the reference sets
+        # real_A_lm_681 = the bare 68 landmarks (geomgm_ifw_fore_model.py
+        # forward, blendbg block) and the warp_loss==2 block then skips
+        # appending the 8 edge anchors (`if not hasattr(...)`); edges are
+        # only used when blendbg is off
+        if cfg.blendbg:
+            a_681 = batch["A_lm_68"]
+            tb_681 = batch["tB_lm_68"]
+            tb2_681 = batch["tB2_lm_68"]
+        else:
+            a_681 = _with_edges(batch["A_lm_68"])
+            tb_681 = _with_edges(batch["tB_lm_68"])
+            tb2_681 = _with_edges(batch["tB2_lm_68"])
         # warp grids: taken from the batch when precomputed, else derived
         # on device from the landmarks (replacing the reference's per-item
         # host-side scipy griddata, umlvd_ifw_dataset.py:409-425)
@@ -367,6 +380,10 @@ def build_train_step(cfg: Module2Config):
         if cfg.warp_loss == 2:
             fakeB_static_warp = sparse_image_warp(
                 fakeB_static, a_681[:, :, ::-1], tb_681[:, :, ::-1])[0]
+        elif cfg.warp_loss == 1:
+            # warp_loss==1: the dataset precomputes the warped static
+            # drawing (geomgm_ifw_fore_model.py:474-475)
+            fakeB_static_warp = batch["fakeB_static_warp"]
         return dict(real_A_fore=real_A_fore, fakeB_static=fakeB_static,
                     iw_flow=iw_flow, if_mask=if_mask, iw_flow2=iw_flow2,
                     if_mask2=if_mask2, mask1=mask1, mask2=mask2,

@@ -185,3 +185,21 @@ def test_predictor_extra_options(rng):
     flc = pred.predict_content_only(win, face_id)
     assert flc.shape == (win.shape[0], 204)
     assert np.isfinite(flc).all()
+
+
+def test_inverse_lip_frame0_inverted(rng):
+    """Frame 0 with inverted mouth: only the collapse applies, y-transfers
+    are identity (the reference's in-place p=j self-reference)."""
+    from animateportrait_tpu.pipeline.landmark import solve_inverse_lip
+
+    fl = rng.standard_normal((4, 204)).astype(np.float32) * 0.1
+    # force frame 0 mouth inversion: clockwise outer ring => negative area
+    theta = np.linspace(0, 2 * np.pi, 8, endpoint=False)[::-1]
+    f0 = fl[0].reshape(68, 3).copy()
+    f0[60:68, 0] = np.cos(theta)
+    f0[60:68, 1] = np.sin(theta)
+    fl[0] = f0.reshape(204)
+    ref = _ref_inverse_lip(fl)
+    assert not np.allclose(ref[0], fl[0])  # frame 0 was actually fixed
+    ours = solve_inverse_lip(jnp.asarray(fl))
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
