@@ -32,5 +32,5 @@ def test_a2l_dataset_collate(tmp_path, rng):
     np.testing.assert_array_equal(fls[0], fl[0:18])
     assert not np.allclose(aus[0], au[0:18])
 
-    neck = estimate_neck(fl[:68 * 3].reshape(68, 3))
+    neck = estimate_neck(fl[0].reshape(68, 3))
     assert neck.shape == (1, 3)
