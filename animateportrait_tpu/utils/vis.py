@@ -95,3 +95,21 @@ def vis_landmark_on_img(img: np.ndarray, shape: np.ndarray,
 
 def vis_landmark_on_img98(img, shape, linewidth=2):
     return vis_landmark_on_img(img, shape, linewidth, _CURVES_98)
+
+
+def show_bboxes(img_bgr: np.ndarray, boxes: np.ndarray,
+                landmarks: np.ndarray | None = None) -> np.ndarray:
+    """Draw detection boxes (+ 5-pt landmarks) on a copy of the image
+    (MTCNN/visualization_utils.py:show_bboxes)."""
+    import cv2
+
+    out = np.ascontiguousarray(img_bgr).copy()
+    for b in np.asarray(boxes):
+        x1, y1, x2, y2 = (int(round(v)) for v in b[:4])
+        cv2.rectangle(out, (x1, y1), (x2, y2), (255, 255, 255), 2)
+    if landmarks is not None:
+        for lm in np.asarray(landmarks):
+            for i in range(5):
+                cv2.circle(out, (int(round(lm[i])), int(round(lm[i + 5]))),
+                           2, (0, 0, 255), -1)
+    return out

@@ -76,3 +76,14 @@ def test_get_puppet_info(tmp_path):
     bound, scale, shift = get_puppet_info("mypuppet", str(tmp_path))
     assert bound.shape == (1, 24)
     assert scale == -0.01 and tuple(shift) == (-10.0, -20.0)
+
+
+def test_show_bboxes(rng):
+    from animateportrait_tpu.utils.vis import show_bboxes
+
+    img = rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+    boxes = np.array([[10, 10, 50, 50, 0.9]])
+    lms = np.array([[20, 40, 30, 25, 35, 20, 20, 30, 45, 45]])
+    out = show_bboxes(img, boxes, lms)
+    assert out.shape == img.shape
+    assert not np.array_equal(out, img)
