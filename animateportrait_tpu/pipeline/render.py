@@ -116,14 +116,22 @@ class Module2Renderer:
                  cartoon_g: Photo2CartoonGenerator | None = None,
                  use_bf16: bool = False):
         if use_bf16:
-            # cast the per-frame generator to bfloat16 (the MXU-native
-            # dtype); the once-per-photo nets stay fp32 for fidelity
-            variables = dataclasses.replace(
-                variables,
-                generator=jax.tree_util.tree_map(
+            # cast the per-frame nets (trident generator + intrinsic-flow
+            # Unet params — flow dominates the per-frame FLOPs) to
+            # bfloat16; BatchNorm statistics and the once-per-photo nets
+            # stay fp32 for fidelity
+            def cast_params(tree):
+                return jax.tree_util.tree_map(
                     lambda x: x.astype(jnp.bfloat16)
                     if hasattr(x, "dtype") and x.dtype == jnp.float32
-                    else x, variables.generator))
+                    else x, tree)
+
+            flow_v = dict(variables.flowunet)
+            flow_v["params"] = cast_params(flow_v["params"])
+            variables = dataclasses.replace(
+                variables,
+                generator=cast_params(variables.generator),
+                flowunet=flow_v)
         self.use_bf16 = use_bf16
         self.v = variables
         self.style = style
@@ -174,6 +182,8 @@ class Module2Renderer:
             j1 = kp_to_map_binary((224, 224), a_lm68[0] * (7.0 / 8.0))
             j2 = kp_to_map_binary((224, 224), lm2 * (7.0 / 8.0))
             inp = jnp.concatenate([j1, j2], axis=-1)[None]
+            if self.use_bf16:
+                inp = inp.astype(jnp.bfloat16)
             flow_out, vis_out, _, _ = self.flowunet.apply(
                 self.v.flowunet, inp)
             vis = jnp.argmax(vis_out, axis=-1, keepdims=True)
