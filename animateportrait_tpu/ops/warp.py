@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _unnormalize(coord: jax.Array, size: int, align_corners: bool) -> jax.Array:
@@ -45,6 +46,13 @@ def sample_bilinear(
 
     ``iy``/``ix`` are float pixel coordinates of arbitrary (shared) shape per
     batch element; returns (N, *coord_shape, C).
+
+    TPU note: take_along_axis over the flattened (H*W) dim is the fastest
+    gather formulation XLA offers here — a paired-slice lax.gather variant
+    (two (2, C) slices instead of four taps) measured ~30% SLOWER on v5e,
+    so four single-tap gathers it is. The warps are still the generator's
+    dominant cost (75 vs 287 frames/s with warps stubbed out); a Mosaic
+    gather kernel is the open optimization.
     """
     N, H, W, C = img.shape
     y0 = jnp.floor(iy)
