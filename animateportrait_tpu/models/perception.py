@@ -8,6 +8,8 @@ list consumed by the weighted-L1 FaceLoss, `networks.py:2862-3055`).
 """
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -254,3 +256,147 @@ def load_sphere20a_params(sd) -> dict:
         params[f"relu{n}"] = {"alpha": sd[f"relu{n}.weight"]}
     params["fc5"] = tc.dense(sd, "fc5")
     return {"params": params}
+
+
+class SEBottleneck(nn.Module):
+    """SENet bottleneck with the reference's inline SE (conv4/conv5)
+    squeeze-excite (facenet.py:67-117). Stride applies in conv1."""
+
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        out = nn.Conv(self.planes, (1, 1), strides=self.stride, padding=0,
+                      use_bias=False, name="conv1")(x)
+        out = nn.relu(_BN(name="bn1")(out))
+        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
+                      name="conv2")(out)
+        out = nn.relu(_BN(name="bn2")(out))
+        out = nn.Conv(self.planes * 4, (1, 1), padding=0, use_bias=False,
+                      name="conv3")(out)
+        out = _BN(name="bn3")(out)
+
+        se = jnp.mean(out, axis=(1, 2), keepdims=True)
+        se = nn.relu(nn.Conv(self.planes * 4 // 16, (1, 1), padding=0,
+                             name="conv4")(se))
+        se = jax.nn.sigmoid(nn.Conv(self.planes * 4, (1, 1), padding=0,
+                                    name="conv5")(se))
+
+        residual = x
+        if self.downsample:
+            residual = nn.Conv(self.planes * 4, (1, 1),
+                               strides=self.stride, padding=0,
+                               use_bias=False, name="down_conv")(x)
+            residual = _BN(name="down_bn")(residual)
+        return nn.relu(se * out + residual)
+
+
+class SENet50(nn.Module):
+    """senet50(include_top=False) feature extractor
+    (facenet.py:120-195): returns [x0..x4] for the 224x224 FaceLoss
+    variant."""
+
+    layers: tuple = (3, 4, 6, 3)
+
+    @nn.compact
+    def __call__(self, x, get_feat: bool = True):
+        from animateportrait_tpu.nn import max_pool_ceil
+
+        x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
+                    name="conv1")(x)
+        x = nn.relu(_BN(name="bn1")(x))
+        # torch MaxPool2d(3, 2, padding=0, ceil_mode=True)
+        x0 = max_pool_ceil(x, 3, 2)
+        feats = [x0]
+        inplanes = 64
+        y = x0
+        for li, (planes, blocks) in enumerate(zip((64, 128, 256, 512),
+                                                  self.layers)):
+            stride = 1 if li == 0 else 2
+            for bi in range(blocks):
+                down = bi == 0 and (stride != 1 or inplanes != planes * 4)
+                y = SEBottleneck(planes, stride if bi == 0 else 1,
+                                 downsample=down,
+                                 name=f"layer{li + 1}_{bi}")(y)
+                inplanes = planes * 4
+            feats.append(y)
+        if get_feat:
+            return feats
+        return jax.lax.reduce_window(
+            y, 0.0, jax.lax.add, (1, 7, 7, 1), (1, 1, 1, 1), "VALID") / 49.0
+
+
+def load_senet50_params(weights: dict) -> dict:
+    """Reference senet50_ft pickle (numpy dict, fc dropped as in
+    FaceLoss.load_senet_model, networks.py:3030-3042) -> variables."""
+    import re
+
+    params: dict = {}
+    stats: dict = {}
+
+    def put(ours, arr, kind, leaf=None):
+        node_p, node_s = params, stats
+        for seg in ours[:-1]:
+            node_p = node_p.setdefault(seg, {})
+            node_s = node_s.setdefault(seg, {})
+        name = ours[-1]
+        if kind == "conv":
+            node_p[name] = {"kernel": np.transpose(arr, (2, 3, 1, 0))}
+        elif kind == "conv_b":
+            node_p.setdefault(name, {})[leaf] = (
+                np.transpose(arr, (2, 3, 1, 0)) if leaf == "kernel"
+                else arr.reshape(-1))
+
+    # the senet50_ft pickle uses names like 'conv1/7x7_s2/weight' — map
+    # layerN.M.convK etc. from a torch-style dict when given one instead
+    for k, v in weights.items():
+        v = np.asarray(v)
+        k = k.replace("module.", "")
+        if k.startswith("fc"):
+            continue
+        parts = k.split(".")
+        if parts[0] == "conv1":
+            put(["conv1"], v, "conv")
+        elif parts[0] == "bn1":
+            stats.setdefault("bn1", {}).setdefault("bn", {})
+            tgt = {"weight": ("params", "scale"), "bias": ("params", "bias"),
+                   "running_mean": ("stats", "mean"),
+                   "running_var": ("stats", "var")}.get(parts[1])
+            if tgt:
+                (params if tgt[0] == "params" else stats).setdefault(
+                    "bn1", {}).setdefault("bn", {})[tgt[1]] = v
+        elif re.match(r"layer\d", parts[0]):
+            li = parts[0]
+            bi = parts[1]
+            sub = parts[2]
+            name = f"{li}_{bi}"
+            node_p = params.setdefault(name, {})
+            node_s = stats.setdefault(name, {})
+            if sub.startswith("conv") and parts[-1] == "weight":
+                node_p.setdefault(sub, {})["kernel"] = np.transpose(
+                    v, (2, 3, 1, 0))
+            elif sub.startswith("conv") and parts[-1] == "bias":
+                node_p.setdefault(sub, {})["bias"] = v.reshape(-1)
+            elif sub.startswith("bn"):
+                tgt = {"weight": (node_p, "scale"), "bias": (node_p, "bias"),
+                       "running_mean": (node_s, "mean"),
+                       "running_var": (node_s, "var")}.get(parts[-1])
+                if tgt:
+                    tgt[0].setdefault(sub, {}).setdefault("bn", {})[
+                        tgt[1]] = v
+            elif sub == "downsample":
+                idx = parts[3]
+                if idx == "0" and parts[-1] == "weight":
+                    node_p.setdefault("down_conv", {})["kernel"] = (
+                        np.transpose(v, (2, 3, 1, 0)))
+                elif idx == "1":
+                    tgt = {"weight": (node_p, "scale"),
+                           "bias": (node_p, "bias"),
+                           "running_mean": (node_s, "mean"),
+                           "running_var": (node_s, "var")}.get(parts[-1])
+                    if tgt:
+                        tgt[0].setdefault("down_bn", {}).setdefault(
+                            "bn", {})[tgt[1]] = v
+    return {"params": params, "batch_stats": stats}

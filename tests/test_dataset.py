@@ -116,3 +116,34 @@ def test_dataset_feeds_train_step(tmp_path):
     state1, metrics = step(state, batch, frozen, jax.random.key(1))
     for k, v in metrics.items():
         assert np.isfinite(float(v)), k
+
+
+def test_options_to_configs():
+    from animateportrait_tpu.utils.options import (
+        build_train_argparser, to_configs)
+
+    # the readme's drawing training command (readme.md:65)
+    argv = ("--dataroot drawing --name training/drawing1 --model "
+            "geomgm_ifw_fore --netG resnet_9blocks_rcatland32_full_ifw "
+            "--netg_resb_div 3 --netg_resb_disp 3 --output_nc 1 "
+            "--lr 0.00005 --lambda_geom 50 --lambda_geom_lipline 50 "
+            "--more_weight_for_lip 2 --lambda_face 3.0 "
+            "--lambda_warp_inter 10 --blendbg 1 "
+            "--select_target12_thre 0.0 --niter 70 "
+            "--niter_decay 0").split()
+    args = build_train_argparser().parse_args(argv)
+    cfg, data = to_configs(args)
+    assert cfg.output_nc == 1 and cfg.lr == 5e-5
+    assert cfg.lambda_geom == 50 and cfg.lambda_geom_lipline == 50
+    assert cfg.blendbg == 1 and cfg.coherent == 1
+    assert cfg.netg_resb_disp == 3 and cfg.niter == 70
+    assert data.style_dir == "Drawing" and data.use_clips
+
+    # cartoon twin disables coherence and clips
+    argv2 = [a for a in argv]
+    argv2[argv2.index("geomgm_ifw_fore")] = "geomgm_ifw_cartoon_fore"
+    args2 = build_train_argparser().parse_args(
+        argv2 + ["--dataset_mode", "umlvd_ifw_cartoon", "--output_nc", "3"])
+    cfg2, data2 = to_configs(args2)
+    assert cfg2.coherent == 0 and cfg2.output_nc == 3
+    assert data2.style_dir == "Cartoon" and not data2.use_clips

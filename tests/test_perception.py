@@ -219,3 +219,83 @@ def test_crop_head_bbox(rng):
         crop, size=(112, 96), mode="bilinear", align_corners=True)
     np.testing.assert_allclose(
         np.asarray(out), ref.permute(0, 2, 3, 1).numpy(), atol=1e-4)
+
+
+def test_senet50_parity(rng):
+    """SENet-50 feature extractor vs a torch replica (one block per layer
+    to keep it fast; same bottleneck/SE structure)."""
+    from animateportrait_tpu.models.perception import (
+        SENet50, load_senet50_params)
+
+    class TB(tnn.Module):
+        def __init__(self, inp, planes, stride=1, down=False):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(inp, planes, 1, stride, bias=False)
+            self.bn1 = tnn.BatchNorm2d(planes)
+            self.conv2 = tnn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(planes)
+            self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = tnn.BatchNorm2d(planes * 4)
+            self.conv4 = tnn.Conv2d(planes * 4, planes * 4 // 16, 1)
+            self.conv5 = tnn.Conv2d(planes * 4 // 16, planes * 4, 1)
+            self.downsample = None
+            if down:
+                self.downsample = tnn.Sequential(
+                    tnn.Conv2d(inp, planes * 4, 1, stride, bias=False),
+                    tnn.BatchNorm2d(planes * 4))
+
+        def forward(self, x):
+            import torch.nn.functional as F
+
+            out = F.relu(self.bn1(self.conv1(x)))
+            out = F.relu(self.bn2(self.conv2(out)))
+            out = self.bn3(self.conv3(out))
+            se = F.avg_pool2d(out, out.size(2))
+            se = torch.sigmoid(self.conv5(F.relu(self.conv4(se))))
+            res = x if self.downsample is None else self.downsample(x)
+            return F.relu(se * out + res)
+
+    class TS(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.maxpool = tnn.MaxPool2d(3, 2, padding=0, ceil_mode=True)
+            self.layer1 = tnn.Sequential(TB(64, 64, 1, True))
+            self.layer2 = tnn.Sequential(TB(256, 128, 2, True))
+            self.layer3 = tnn.Sequential(TB(512, 256, 2, True))
+            self.layer4 = tnn.Sequential(TB(1024, 512, 2, True))
+
+        def forward(self, x):
+            import torch.nn.functional as F
+
+            x = F.relu(self.bn1(self.conv1(x)))
+            x0 = self.maxpool(x)
+            x1 = self.layer1(x0)
+            x2 = self.layer2(x1)
+            x3 = self.layer3(x2)
+            x4 = self.layer4(x3)
+            return [x0, x1, x2, x3, x4]
+
+    import jax
+
+    torch.manual_seed(12)
+    ts = TS()
+    for m in ts.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            m.running_mean.uniform_(-0.3, 0.3)
+            m.running_var.uniform_(0.5, 2.0)
+    ts.eval()
+    sd = {k: v.detach().numpy() for k, v in ts.state_dict().items()}
+
+    img = rng.uniform(-1, 1, (1, 112, 112, 3)).astype(np.float32)
+    variables = load_senet50_params(sd)
+    model = SENet50(layers=(1, 1, 1, 1))
+    feats = model.apply(variables, jnp.asarray(img))
+    with torch.no_grad():
+        tfeats = ts(torch.from_numpy(img).permute(0, 3, 1, 2))
+    assert len(feats) == 5
+    for i, (a, b) in enumerate(zip(feats, tfeats)):
+        np.testing.assert_allclose(
+            np.asarray(a), b.permute(0, 2, 3, 1).numpy(), atol=1e-4,
+            err_msg=f"level {i}")
