@@ -543,3 +543,91 @@ class ConditionalResnetWarped(nn.Module):
         x = reflect_pad_2d(x, 3)
         x = nn.Conv(self.output_nc, (7, 7), padding=0, name="out")(x)
         return jnp.tanh(x)
+
+
+class UnetParseSkipBlock(nn.Module):
+    """UnetParseSkipConnectionBlock (networks.py:334-405).
+
+    Like the plain Unet skip block but BatchNorm (define_P's default
+    norm='batch'), ConvTranspose with output_padding=1 followed by a
+    center crop back to the input size (the reference's size-repair
+    quirk, :393-399), and tanh INSIDE the outermost block.
+    """
+
+    outer_nc: int
+    inner_nc: int
+    inner: nn.Module | None = None
+    outermost: bool = False
+    innermost: bool = False
+    use_dropout: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        def bn(y, name):
+            return nn.BatchNorm(use_running_average=not train,
+                                momentum=0.9, epsilon=1e-5, name=name)(y)
+
+        y = x
+        if not self.outermost:
+            y = nn.leaky_relu(y, 0.2)
+        y = nn.Conv(self.inner_nc, (4, 4), strides=2, padding=1,
+                    use_bias=False, name="down")(y)
+        if not (self.outermost or self.innermost):
+            y = bn(y, "down_bn")
+        if self.inner is not None:
+            y = self.inner(y, train)
+        y = nn.relu(y)
+        y = ConvTranspose2dTorch(self.outer_nc, kernel=4, stride=2,
+                                 padding=1, output_padding=1,
+                                 use_bias=self.outermost, name="up")(y)
+        # center crop back to the block's input size (:393-399); torch puts
+        # the output_padding row at bottom/right, so this drops it
+        ha, wa = x.shape[1], x.shape[2]
+        t = (y.shape[1] - ha) // 2
+        l = (y.shape[2] - wa) // 2
+        y = y[:, t:t + ha, l:l + wa, :]
+        if self.outermost:
+            return jnp.tanh(y)
+        y = bn(y, "up_bn")
+        if self.use_dropout and not (self.outermost or self.innermost):
+            y = nn.Dropout(0.5, deterministic=not train)(y)
+        return jnp.concatenate([x, y], axis=-1)
+
+
+class UnetParseGenerator(nn.Module):
+    """Segmentation U-Net (networks.py:311-331): softmax over
+    segment_classes channels."""
+
+    segment_classes: int = 3
+    num_downs: int = 7
+    ngf: int = 64
+    use_dropout: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ngf = self.ngf
+        block = UnetParseSkipBlock(ngf * 8, ngf * 8, innermost=True,
+                                   name="inner")
+        for i in range(self.num_downs - 5):
+            block = UnetParseSkipBlock(ngf * 8, ngf * 8, inner=block,
+                                       use_dropout=self.use_dropout,
+                                       name=f"mid{i}")
+        block = UnetParseSkipBlock(ngf * 4, ngf * 8, inner=block,
+                                   name="up4")
+        block = UnetParseSkipBlock(ngf * 2, ngf * 4, inner=block,
+                                   name="up2")
+        block = UnetParseSkipBlock(ngf, ngf * 2, inner=block, name="up1")
+        block = UnetParseSkipBlock(self.segment_classes, ngf, inner=block,
+                                   outermost=True, name="outer")
+        return nn.softmax(block(x, train), axis=-1)
+
+
+def define_p(segment_classes: int, which_model_netg: str = "unet_128",
+             ngf: int = 64, use_dropout: bool = False):
+    """Reference define_P (networks.py:294-309)."""
+    downs = {"unet_128": 6, "unet_256": 7}
+    if which_model_netg not in downs:
+        raise ValueError(f"unknown parse netG {which_model_netg}")
+    return UnetParseGenerator(segment_classes=segment_classes,
+                              num_downs=downs[which_model_netg], ngf=ngf,
+                              use_dropout=use_dropout)

@@ -204,3 +204,106 @@ def test_trident_variant_family(rng):
     # legacy rcatland names resolve
     assert define_g("resnet_9blocks_rcatland", output_nc=1)
     assert define_g("resnet_9blocks_rcatland3", output_nc=1)
+
+
+def test_unet_parse_generator_parity(rng):
+    """UnetParseGenerator vs a torch replica of networks.py:311-405
+    (BatchNorm, output_padding=1 + crop, softmax head)."""
+    from animateportrait_tpu.models.gan_extra import define_p
+    from animateportrait_tpu.io import torch_convert as tc
+
+    ngf, nd, classes = 4, 6, 3
+
+    class UPSB(tnn.Module):
+        def __init__(self, outer, inner, input_nc=None, sub=None,
+                     outermost=False, innermost=False):
+            super().__init__()
+            self.outermost = outermost
+            input_nc = input_nc or outer
+            downconv = tnn.Conv2d(input_nc, inner, 4, 2, 1, bias=False)
+            if outermost:
+                up = [tnn.ReLU(True),
+                      tnn.ConvTranspose2d(inner * 2, outer, 4, 2, 1,
+                                          output_padding=1),
+                      tnn.Tanh()]
+                model = [downconv] + [sub] + up
+            elif innermost:
+                up = [tnn.ReLU(True),
+                      tnn.ConvTranspose2d(inner, outer, 4, 2, 1,
+                                          bias=False, output_padding=1),
+                      tnn.BatchNorm2d(outer)]
+                model = [tnn.LeakyReLU(0.2, True), downconv] + up
+            else:
+                up = [tnn.ReLU(True),
+                      tnn.ConvTranspose2d(inner * 2, outer, 4, 2, 1,
+                                          bias=False, output_padding=1),
+                      tnn.BatchNorm2d(outer)]
+                model = [tnn.LeakyReLU(0.2, True), downconv,
+                         tnn.BatchNorm2d(inner)] + [sub] + up
+            self.model = tnn.Sequential(*model)
+
+        def forward(self, x):
+            out = self.model(x)
+            ha, wa = x.size(2), x.size(3)
+            t = (out.size(2) - ha) // 2
+            le = (out.size(3) - wa) // 2
+            out = out[:, :, t:t + ha, le:le + wa]
+            if self.outermost:
+                return out
+            return torch.cat([x, out], 1)
+
+    blk = UPSB(ngf * 8, ngf * 8, innermost=True)
+    mids = nd - 5
+    for _ in range(mids):
+        blk = UPSB(ngf * 8, ngf * 8, sub=blk)
+    blk = UPSB(ngf * 4, ngf * 8, sub=blk)
+    blk = UPSB(ngf * 2, ngf * 4, sub=blk)
+    blk = UPSB(ngf, ngf * 2, sub=blk)
+    tg = UPSB(classes, ngf, input_nc=3, sub=blk, outermost=True).eval()
+    with torch.no_grad():
+        for m in tg.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+
+    x = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    g = define_p(classes, "unet_128", ngf=ngf)
+    variables = g.init(jax.random.key(0), jnp.asarray(x))
+
+    chain = (["outer", "up1", "up2", "up4"]
+             + [f"mid{i}" for i in range(mids - 1, -1, -1)] + ["inner"])
+    conv_assign = [[c, "down"] for c in chain] + [
+        [c, "up"] for c in reversed(chain)]
+    bn_assign = [[c, "down_bn"] for c in chain[1:-1]] + [
+        [c, "up_bn"] for c in reversed(chain[1:])]
+    tconvs = [m for m in tg.modules()
+              if isinstance(m, (tnn.Conv2d, tnn.ConvTranspose2d))]
+    tbns = [m for m in tg.modules() if isinstance(m, tnn.BatchNorm2d)]
+    assert len(conv_assign) == len(tconvs)
+    assert len(bn_assign) == len(tbns)
+
+    import flax
+    p = flax.core.unfreeze(variables["params"])
+    s = flax.core.unfreeze(variables["batch_stats"])
+    for path, conv in zip(conv_assign, tconvs):
+        node = p[path[0]][path[1]]
+        w = conv.weight.detach().numpy()
+        node["kernel"] = jnp.asarray(
+            tc.conv_transpose2d_kernel(w)
+            if isinstance(conv, tnn.ConvTranspose2d) else
+            tc.conv2d_kernel(w))
+        if conv.bias is not None:
+            node["bias"] = jnp.asarray(conv.bias.detach().numpy())
+    for path, bn in zip(bn_assign, tbns):
+        p[path[0]][path[1]] = {
+            "scale": jnp.asarray(bn.weight.detach().numpy()),
+            "bias": jnp.asarray(bn.bias.detach().numpy())}
+        s[path[0]][path[1]] = {
+            "mean": jnp.asarray(bn.running_mean.numpy()),
+            "var": jnp.asarray(bn.running_var.numpy())}
+    ours = g.apply({"params": p, "batch_stats": s}, jnp.asarray(x))
+    with torch.no_grad():
+        ref = torch.softmax(tg(torch.from_numpy(x).permute(0, 3, 1, 2)),
+                            dim=1)
+    np.testing.assert_allclose(
+        np.asarray(ours), ref.permute(0, 2, 3, 1).numpy(), atol=3e-5)
