@@ -10,6 +10,8 @@ the end-to-end driver.
 """
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -167,3 +169,186 @@ def load_vgg19_params(sd) -> dict:
             p[f"conv{layer_idx}"] = tc.conv2d(sd, key)
         layer_idx += 2
     return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# Geometric Matching Module (MakeItTalk leftovers,
+# model_image_translation.py:102-624: FeatureExtraction :102-121,
+# FeatureL2Norm :124-131, FeatureCorrelation :133-147, FeatureRegression
+# :149-180, AffineGridGen :183-196, TpsGridGen :198-290, GMM :599-623)
+# ---------------------------------------------------------------------------
+
+class FeatureExtraction(nn.Module):
+    """Strided conv tower with the reference's conv->ReLU->BN order."""
+
+    ngf: int = 64
+    n_layers: int = 3
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        def bn(y, name):
+            return nn.BatchNorm(use_running_average=not train,
+                                momentum=0.9, epsilon=1e-5, name=name)(y)
+
+        x = nn.relu(nn.Conv(self.ngf, (4, 4), strides=2, padding=1,
+                            name="conv0")(x))
+        x = bn(x, "bn0")
+        for i in range(self.n_layers):
+            cin = 2 ** i * self.ngf
+            cout = 2 ** (i + 1) * self.ngf if cin < 512 else 512
+            x = nn.relu(nn.Conv(cout, (4, 4), strides=2, padding=1,
+                                name=f"conv{i + 1}")(x))
+            x = bn(x, f"bn{i + 1}")
+        x = nn.relu(nn.Conv(512, (3, 3), padding=1, name="conv4")(x))
+        x = bn(x, "bn4")
+        return nn.relu(nn.Conv(512, (3, 3), padding=1, name="conv5")(x))
+
+
+def feature_l2_norm(feat: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """FeatureL2Norm (:124-131), channel-last."""
+    norm = jnp.sqrt(jnp.sum(jnp.square(feat), axis=-1, keepdims=True)
+                    + eps)
+    return feat / norm
+
+
+def feature_correlation(fa: jax.Array, fb: jax.Array) -> jax.Array:
+    """FeatureCorrelation (:133-147): (N,H,W,C) x2 -> (N,H,W,W*H).
+
+    Channel j of the output indexes feature-A position column-major
+    (j = x*H + y), matching the torch flattening order.
+    """
+    n, h, w, c = fa.shape
+    fa_flat = jnp.transpose(fa, (0, 2, 1, 3)).reshape(n, w * h, c)
+    fb_flat = fb.reshape(n, h * w, c)
+    corr = jnp.einsum("npc,nqc->npq", fb_flat, fa_flat)
+    return corr.reshape(n, h, w, w * h)
+
+
+class FeatureRegression(nn.Module):
+    """(:149-180): correlation -> 2*grid_size^2 TPS offsets in [-1,1]."""
+
+    output_dim: int = 18
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        def bn(y, name):
+            return nn.BatchNorm(use_running_average=not train,
+                                momentum=0.9, epsilon=1e-5, name=name)(y)
+
+        for i, (ch, k, s) in enumerate(((512, 4, 2), (256, 4, 2),
+                                        (128, 3, 1), (64, 3, 1))):
+            x = nn.Conv(ch, (k, k), strides=s, padding=1,
+                        name=f"conv{i}")(x)
+            x = nn.relu(bn(x, f"bn{i}"))
+        # torch flattens channel-major
+        x = jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)
+        return jnp.tanh(nn.Dense(self.output_dim, name="linear")(x))
+
+
+def affine_grid(theta: jax.Array, size_hw: tuple[int, int]) -> jax.Array:
+    """AffineGridGen (:183-196) == F.affine_grid(align_corners=False):
+    theta (N,2,3) -> normalized sampling grid (N,H,W,2)."""
+    h, w = size_hw
+    # align_corners=False base grid: pixel centers
+    xs = (jnp.arange(w) + 0.5) * 2.0 / w - 1.0
+    ys = (jnp.arange(h) + 0.5) * 2.0 / h - 1.0
+    gx, gy = jnp.meshgrid(xs, ys)
+    base = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)  # (H,W,3)
+    return jnp.einsum("hwk,nck->nhwc", base, theta)
+
+
+def _tps_l_inverse(grid_size: int) -> tuple[np.ndarray, np.ndarray]:
+    """compute_L_inverse (:255-270) for the regular control grid."""
+    ax = np.linspace(-1, 1, grid_size)
+    py, px = np.meshgrid(ax, ax)
+    px = px.reshape(-1, 1)
+    py = py.reshape(-1, 1)
+    n = grid_size * grid_size
+    d2 = (px - px.T) ** 2 + (py - py.T) ** 2
+    d2[d2 == 0] = 1.0
+    k = d2 * np.log(d2)
+    p = np.concatenate([np.ones((n, 1)), px, py], axis=1)
+    l_mat = np.block([[k, p], [p.T, np.zeros((3, 3))]])
+    return np.linalg.inv(l_mat).astype(np.float32), \
+        np.concatenate([px, py], axis=1).astype(np.float32)
+
+
+def tps_grid(theta: jax.Array, size_hw: tuple[int, int],
+             grid_size: int = 3) -> jax.Array:
+    """TpsGridGen (:198-290): theta (N, 2*grid_size^2) control-point
+    offsets -> normalized sampling grid (N,H,W,2)."""
+    h, w = size_hw
+    li, ctrl = _tps_l_inverse(grid_size)
+    n_pts = grid_size * grid_size
+    qx = theta[:, :n_pts] + ctrl[:, 0]
+    qy = theta[:, n_pts:] + ctrl[:, 1]
+    wx = jnp.einsum("ij,nj->ni", li[:n_pts, :n_pts], qx)
+    wy = jnp.einsum("ij,nj->ni", li[:n_pts, :n_pts], qy)
+    ax = jnp.einsum("ij,nj->ni", li[n_pts:, :n_pts], qx)  # (N,3)
+    ay = jnp.einsum("ij,nj->ni", li[n_pts:, :n_pts], qy)
+    gx, gy = jnp.meshgrid(jnp.linspace(-1, 1, w), jnp.linspace(-1, 1, h))
+    d2 = (gx[..., None] - ctrl[:, 0]) ** 2 + \
+        (gy[..., None] - ctrl[:, 1]) ** 2
+    d2 = jnp.where(d2 == 0, 1.0, d2)
+    u = d2 * jnp.log(d2)  # (H,W,n_pts)
+    px = ax[:, None, None, 0] + ax[:, None, None, 1] * gx \
+        + ax[:, None, None, 2] * gy + jnp.einsum("hwj,nj->nhw", u, wx)
+    py = ay[:, None, None, 0] + ay[:, None, None, 1] * gx \
+        + ay[:, None, None, 2] * gy + jnp.einsum("hwj,nj->nhw", u, wy)
+    return jnp.stack([px, py], axis=-1)
+
+
+class GMM(nn.Module):
+    """Geometric Matching Module (:599-623): (inputA, inputB) ->
+    (sampling grid (N,H,W,2), theta)."""
+
+    input_nc: int = 1
+    fine_height: int = 256
+    fine_width: int = 192
+    grid_size: int = 3
+
+    @nn.compact
+    def __call__(self, input_a, input_b, train: bool = False):
+        fa = FeatureExtraction(name="extractionA")(input_a, train)
+        fb = FeatureExtraction(name="extractionB")(input_b, train)
+        corr = feature_correlation(feature_l2_norm(fa),
+                                   feature_l2_norm(fb))
+        theta = FeatureRegression(
+            output_dim=2 * self.grid_size ** 2,
+            name="regression")(corr, train)
+        grid = tps_grid(theta, (self.fine_height, self.fine_width),
+                        self.grid_size)
+        return grid, theta
+
+
+def load_gmm_params(sd) -> dict:
+    """torch GMM state dict -> GMM variables."""
+    from animateportrait_tpu.io import torch_convert as tc
+
+    sd = tc.strip_module_prefix(sd)
+    params: dict = {}
+    stats: dict = {}
+    for ext in ("extractionA", "extractionB"):
+        p, s = {}, {}
+        # model indices: [conv,relu,bn] then 3x[conv,relu,bn] then
+        # [conv,relu,bn] + [conv,relu]
+        conv_idx = [0, 3, 6, 9, 12, 15]
+        bn_idx = [2, 5, 8, 11, 14]
+        for i, t in enumerate(conv_idx):
+            p[f"conv{i}"] = tc.conv2d(sd, f"{ext}.model.{t}")
+        for i, t in enumerate(bn_idx):
+            bp, bs = tc.batchnorm(sd, f"{ext}.model.{t}")
+            p[f"bn{i}"] = bp
+            s[f"bn{i}"] = bs
+        params[ext] = p
+        stats[ext] = s
+    rp, rs = {}, {}
+    for i, t in enumerate((0, 3, 6, 9)):
+        rp[f"conv{i}"] = tc.conv2d(sd, f"regression.conv.{t}")
+        bp, bs = tc.batchnorm(sd, f"regression.conv.{t + 1}")
+        rp[f"bn{i}"] = bp
+        rs[f"bn{i}"] = bs
+    rp["linear"] = tc.dense(sd, "regression.linear")
+    params["regression"] = rp
+    stats["regression"] = rs
+    return {"params": params, "batch_stats": stats}
