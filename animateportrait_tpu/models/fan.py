@@ -189,3 +189,103 @@ def heatmaps_to_landmarks(hm: jax.Array) -> jax.Array:
     fx = px + 1 + jnp.where(interior, dx * 0.25, 0.0)
     fy = py + 1 + jnp.where(interior, dy * 0.25, 0.0)
     return jnp.stack([fx - 0.5, fy - 0.5], axis=-1)
+
+
+def draw_gaussian(heatmap: jax.Array, point: jax.Array,
+                  sigma: int = 1) -> jax.Array:
+    """AdaptiveWingLoss/utils/utils.py:42-81, vectorized.
+
+    Adds a (6*sigma+1)-wide gaussian around ``point`` (x, y) into
+    ``heatmap`` (H, W), preserving the reference's 1-indexed placement
+    (peak at floor(point) - 1 in 0-indexed pixels) and its border
+    behavior (the patch is re-anchored, i.e. shifted, when the window
+    crosses the top/left edge), then clips to 1.
+    """
+    h, w = heatmap.shape
+    size = 6 * sigma + 1
+    ulx = jnp.floor(jnp.floor(point[0]) - 3 * sigma)
+    uly = jnp.floor(jnp.floor(point[1]) - 3 * sigma)
+    brx = jnp.floor(jnp.floor(point[0]) + 3 * sigma)
+    bry = jnp.floor(jnp.floor(point[1]) + 3 * sigma)
+    skip = (ulx > w) | (uly > h) | (brx < 1) | (bry < 1)
+
+    def axis_vals(coords, ul, br, n):
+        # patch-row index for image coordinate R (utils.py:52-57); the
+        # patch gaussian always has relative sigma 0.25 of its size
+        # (_gaussian's default, utils.py:18,51)
+        r = coords - jnp.maximum(1.0, ul) + jnp.maximum(1.0, -ul)
+        val = jnp.exp(-0.5 * jnp.square((r - 3 * sigma) / (0.25 * size)))
+        inside = (coords >= jnp.maximum(1.0, ul) - 1) & \
+            (coords < jnp.minimum(br, n))
+        return val * inside
+
+    gy = axis_vals(jnp.arange(h, dtype=jnp.float32), uly, bry, h)
+    gx = axis_vals(jnp.arange(w, dtype=jnp.float32), ulx, brx, w)
+    patch = gy[:, None] * gx[None, :]
+    out = jnp.clip(heatmap + patch, None, 1.0)
+    return jnp.where(skip, heatmap, out)
+
+
+def gaussian_heatmaps(points: jax.Array, size_hw: tuple[int, int],
+                      sigma: int = 1, boundary: bool = False) -> jax.Array:
+    """GT heatmap stack for FAN training: points (N, 2) -> (H, W, N)
+    (+1 accumulated boundary channel when ``boundary``)."""
+    zero = jnp.zeros(size_hw, jnp.float32)
+    maps = jax.vmap(lambda p: draw_gaussian(zero, p, sigma))(points)
+    if boundary:
+        acc = zero
+        for i in range(points.shape[0]):
+            acc = draw_gaussian(acc, points[i], sigma)
+        maps = jnp.concatenate([maps, acc[None]], axis=0)
+    return jnp.transpose(maps, (1, 2, 0))
+
+
+def adaptive_wing_loss(pred: jax.Array, target: jax.Array,
+                       omega: float = 14.0, theta: float = 0.5,
+                       epsilon: float = 1.0, alpha: float = 2.1
+                       ) -> jax.Array:
+    """Adaptive Wing loss (Wang et al. 2019) — the loss the reference's
+    FAN checkpoints were trained with (the AdaptiveWingLoss project the
+    reference vendors ships only the trained model; the formula is from
+    the paper)."""
+    delta = jnp.abs(target - pred)
+    a = omega * (1.0 / (1.0 + jnp.power(theta / epsilon,
+                                        alpha - target))) * \
+        (alpha - target) * jnp.power(theta / epsilon,
+                                     alpha - target - 1.0) / epsilon
+    c = theta * a - omega * jnp.log1p(jnp.power(theta / epsilon,
+                                                alpha - target))
+    small = omega * jnp.log1p(jnp.power(delta / epsilon, alpha - target))
+    large = a * delta - c
+    return jnp.mean(jnp.where(delta < theta, small, large))
+
+
+_NME_EVAL = {"68", "98", "29", "19"}
+
+
+def fan_nme(pred_heatmaps: jax.Array, gt_landmarks: jax.Array,
+            num_landmarks: int = 68, stride: float = 4.0) -> jax.Array:
+    """fan_NME (utils.py:188-223): summed normalized mean error over the
+    batch. pred heatmaps (N, H, W, C); gt landmarks (N, C, 2) in image
+    pixels (heatmap * stride)."""
+    pred = heatmaps_to_landmarks(pred_heatmaps) * stride
+    gt = gt_landmarks
+    if num_landmarks == 68:
+        left = jnp.mean(gt[:, 36:42], axis=1)
+        right = jnp.mean(gt[:, 42:48], axis=1)
+        norm = jnp.linalg.norm(left - right, axis=-1)
+    elif num_landmarks == 98:
+        norm = jnp.linalg.norm(gt[:, 60] - gt[:, 72], axis=-1)
+    elif num_landmarks == 29:
+        norm = jnp.linalg.norm(gt[:, 16] - gt[:, 17], axis=-1)
+    elif num_landmarks == 19:
+        # last two rows carry the bbox corners (utils.py:214-218)
+        lt, rb = gt[:, -2], gt[:, -1]
+        norm = jnp.sqrt(jnp.abs(rb[:, 0] - lt[:, 0])
+                        * jnp.abs(lt[:, 1] - rb[:, 1]))
+        gt = gt[:, :-2]
+        pred = pred[:, :gt.shape[1]]
+    else:
+        raise ValueError(f"num_landmarks must be one of {_NME_EVAL}")
+    per = jnp.mean(jnp.linalg.norm(pred - gt, axis=-1), axis=1) / norm
+    return jnp.sum(per)
