@@ -47,41 +47,54 @@ def sample_bilinear(
     ``iy``/``ix`` are float pixel coordinates of arbitrary (shared) shape per
     batch element; returns (N, *coord_shape, C).
 
-    TPU note: take_along_axis over the flattened (H*W) dim is the fastest
-    gather formulation XLA offers here — a paired-slice lax.gather variant
-    (two (2, C) slices instead of four taps) measured ~30% SLOWER on v5e,
-    so four single-tap gathers it is. The warps are still the generator's
-    dominant cost (75 vs 287 frames/s with warps stubbed out); a Mosaic
-    gather kernel is the open optimization.
+    TPU note (lane-augmented gather): the four bilinear taps are folded
+    into ONE take_along_axis by pre-concatenating the four 1-pixel-shifted
+    copies of the (1-padded) image along channels, so every sample fetches
+    a single contiguous 4C-lane vector (with C=32 that is exactly 128
+    lanes = one full vreg row). Measured on a v5e chip with forced
+    readback and distinct inputs per call: 0.39 ms per (8,256,256,32)
+    warp vs 18.6 ms for four single-tap gathers — the single wide gather
+    hits XLA's fast path while four (1,C) gathers take the slow generic
+    one. Padding semantics (zeros masks / border clamp, per tap, torch
+    grid_sample-exact) are preserved via the pad ring + unclipped-coord
+    masks.
     """
     N, H, W, C = img.shape
     y0 = jnp.floor(iy)
     x0 = jnp.floor(ix)
     wy = iy - y0
     wx = ix - x0
-
     y0i = y0.astype(jnp.int32)
     x0i = x0.astype(jnp.int32)
 
-    def gather(yc, xc):
-        ycl = jnp.clip(yc, 0, H - 1)
-        xcl = jnp.clip(xc, 0, W - 1)
-        flat = img.reshape(N, H * W, C)
-        idx = ycl * W + xcl  # (N, ...)
-        vals = jnp.take_along_axis(
-            flat, idx.reshape(N, -1, 1), axis=1
-        ).reshape(*idx.shape, C)
-        if padding_mode == "zeros":
-            inb = (
-                (yc >= 0) & (yc <= H - 1) & (xc >= 0) & (xc <= W - 1)
-            )
-            vals = vals * inb[..., None].astype(vals.dtype)
-        return vals
+    pad_kw = ({"mode": "edge"} if padding_mode == "border"
+              else {"mode": "constant"})
+    p = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)), **pad_kw)
+    # aug[n, y, x] = [P[y,x], P[y,x+1], P[y+1,x], P[y+1,x+1]] in padded
+    # coordinates; gathering at (clip(y0)+1, clip(x0)+1) yields all taps
+    aug = jnp.concatenate(
+        [p[:, :-1, :-1], p[:, :-1, 1:], p[:, 1:, :-1], p[:, 1:, 1:]],
+        axis=-1)
+    gy = jnp.clip(y0i, -1, H - 1) + 1
+    gx = jnp.clip(x0i, -1, W - 1) + 1
+    idx = gy * (W + 1) + gx
+    v = jnp.take_along_axis(
+        aug.reshape(N, (H + 1) * (W + 1), 4 * C),
+        idx.reshape(N, -1, 1), axis=1).reshape(*idx.shape, 4 * C)
+    v00, v01 = v[..., :C], v[..., C:2 * C]
+    v10, v11 = v[..., 2 * C:3 * C], v[..., 3 * C:]
 
-    v00 = gather(y0i, x0i)
-    v01 = gather(y0i, x0i + 1)
-    v10 = gather(y0i + 1, x0i)
-    v11 = gather(y0i + 1, x0i + 1)
+    if padding_mode == "zeros":
+        # masks use the UNCLIPPED tap coords: the zero pad ring covers
+        # taps 1 px outside, the masks cover coords further out
+        def inb(yc, xc):
+            m = ((yc >= 0) & (yc <= H - 1) & (xc >= 0) & (xc <= W - 1))
+            return m[..., None].astype(img.dtype)
+
+        v00 = v00 * inb(y0i, x0i)
+        v01 = v01 * inb(y0i, x0i + 1)
+        v10 = v10 * inb(y0i + 1, x0i)
+        v11 = v11 * inb(y0i + 1, x0i + 1)
 
     wy = wy[..., None].astype(img.dtype)
     wx = wx[..., None].astype(img.dtype)
@@ -116,21 +129,31 @@ def sample_bicubic(
     wx = cubic(tx)
     y0i = y0.astype(jnp.int32)
     x0i = x0.astype(jnp.int32)
-    flat = img.reshape(N, H * W, C)
 
-    def gather(yc, xc):
-        ycl = jnp.clip(yc, 0, H - 1)
-        xcl = jnp.clip(xc, 0, W - 1)
-        idx = ycl * W + xcl
-        return jnp.take_along_axis(
-            flat, idx.reshape(N, -1, 1), axis=1).reshape(*idx.shape, C)
-
+    # Lane-augmented single gather (see sample_bilinear): all 16 taps of
+    # the 4x4 stencil are pre-concatenated as shifted copies of the
+    # replicate-padded image, fetched by ONE take_along_axis. Border
+    # clamping is carried by the pad ring; for sample centers more than
+    # 1 px outside the image (y0 outside [-1, H-1]) the clamped base
+    # index deviates from per-tap clipping — no caller samples there.
+    # P[r] = img[clip(r - 2)]; base index g = clip(y0) + 1 makes tap jy
+    # equal P[g + jy + 1], i.e. slice A_jy = P[jy+1 : jy+1+H+1]
+    p = jnp.pad(img, ((0, 0), (2, 2), (2, 2), (0, 0)), mode="edge")
+    taps = [p[:, 1 + jy:1 + jy + H + 1, 1 + jx:1 + jx + W + 1]
+            for jy in range(-1, 3) for jx in range(-1, 3)]
+    aug = jnp.concatenate(taps, axis=-1)
+    gy = jnp.clip(y0i, -1, H - 1) + 1
+    gx = jnp.clip(x0i, -1, W - 1) + 1
+    idx = gy * (W + 1) + gx
+    v = jnp.take_along_axis(
+        aug.reshape(N, (H + 1) * (W + 1), 16 * C),
+        idx.reshape(N, -1, 1), axis=1).reshape(*idx.shape, 16 * C)
     out = 0.0
-    for jy in range(-1, 3):
-        row = 0.0
-        for jx in range(-1, 3):
-            row = row + wx[jx + 1] * gather(y0i + jy, x0i + jx)
-        out = out + wy[jy + 1] * row
+    k = 0
+    for jy in range(4):
+        for jx in range(4):
+            out = out + wy[jy] * wx[jx] * v[..., k * C:(k + 1) * C]
+            k += 1
     return out
 
 

@@ -55,30 +55,45 @@ def bench_jax() -> float:
         variables = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32
             else x, variables)
-    # chain CHAIN forwards inside one jitted program (python-unrolled;
-    # lax.fori_loop is pathological on the remote-tunnel backend — each
-    # loop iteration costs a host round trip) so the measurement is
-    # device compute, not per-call dispatch latency.
+    # Measurement rules for the remote-tunnel (axon) backend, all three
+    # verified necessary on hardware:
+    #  1. chain CHAIN forwards inside one jit with TRUE data dependence
+    #     (each forward consumes the previous output — a `x + 0*out`
+    #     chain gets DCE'd by XLA and measures nothing);
+    #  2. return a SCALAR and force it to host each call —
+    #     block_until_ready returns early over the tunnel;
+    #  3. vary the inputs every call (a seed argument) — repeated
+    #     identical (program, args) calls return memoized results;
+    #  4. subtract the measured readback round-trip baseline.
     chain = int(os.environ.get("BENCH_CHAIN", "8"))
 
-    def run_chain(img, l1, l2, motion, flow, ifmask):
-        x = img
+    def run_chain(img, l1, l2, motion, flow, ifmask, seed):
+        x = img + seed.astype(img.dtype)
         for _ in range(chain):
             out = model.apply(variables, x, l1, l2, motion, flow, ifmask)
             rep = img.shape[-1] // out.shape[-1]
-            x = x + 0.0 * jnp.tile(out, (1, 1, 1, rep)).astype(x.dtype)
-        return x
+            x = img + 1e-3 * jnp.tile(out, (1, 1, 1, rep)).astype(
+                img.dtype)
+        return jnp.sum(x.astype(jnp.float32))
 
     fwd = jax.jit(run_chain)
-    out = fwd(*args)
-    jax.block_until_ready(out)
-    reps = max(1, STEPS // chain)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fwd(*args)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    return BATCH * chain * reps / dt
+    base_fn = jax.jit(
+        lambda img, seed: jnp.sum((img + seed.astype(img.dtype))
+                                  .astype(jnp.float32)))
+    float(fwd(*args, jnp.float32(0.0)))   # compile
+    float(base_fn(args[0], jnp.float32(0.0)))
+    base = 1e9
+    for i in range(1, 4):
+        t0 = time.perf_counter()
+        float(base_fn(args[0], jnp.float32(i * 1e-4)))
+        base = min(base, time.perf_counter() - t0)
+    reps = max(2, STEPS // chain)
+    best = 1e9
+    for i in range(1, reps + 1):
+        t0 = time.perf_counter()
+        float(fwd(*args, jnp.float32(i * 1e-4)))
+        best = min(best, time.perf_counter() - t0)
+    return BATCH * chain / max(best - base, 1e-9)
 
 
 def bench_torch_cpu() -> float | None:

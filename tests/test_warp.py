@@ -87,3 +87,30 @@ def test_dense_image_warp_shift():
     out = np.asarray(dense_image_warp(jnp.asarray(img), jnp.asarray(flow)))
     expected = np.array([0, 0, 1, 2, 3], np.float32)
     np.testing.assert_allclose(out[0, :, 0, 0], expected, atol=1e-6)
+
+
+def test_sample_bicubic_matches_torch_border():
+    """sample_bicubic vs torch grid_sample(mode='bicubic',
+    padding_mode='border') on in-range coords (the only coords the train
+    step's crop path produces)."""
+    import torch
+    import torch.nn.functional as F
+
+    from animateportrait_tpu.ops.warp import sample_bicubic
+
+    rng = np.random.default_rng(0)
+    N, H, W, C = 2, 13, 17, 3
+    img = rng.standard_normal((N, H, W, C)).astype(np.float32)
+    # normalized grid in [-1, 1] -> pixel coords via align_corners=False
+    grid = rng.uniform(-1, 1, (N, 6, 7, 2)).astype(np.float32)
+    ix = ((grid[..., 0] + 1) * W - 1) * 0.5
+    iy = ((grid[..., 1] + 1) * H - 1) * 0.5
+    ours = sample_bicubic(jnp.asarray(img), jnp.asarray(iy),
+                          jnp.asarray(ix))
+    with torch.no_grad():
+        ref = F.grid_sample(
+            torch.tensor(img).permute(0, 3, 1, 2), torch.tensor(grid),
+            mode="bicubic", padding_mode="border", align_corners=False)
+    np.testing.assert_allclose(np.asarray(ours),
+                               ref.permute(0, 2, 3, 1).numpy(),
+                               atol=2e-5)
