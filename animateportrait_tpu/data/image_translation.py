@@ -51,3 +51,54 @@ class ImageTranslationDataset:
     def batch(self, indices, rng: np.random.Generator) -> dict:
         items = [self.sample(i, rng) for i in indices]
         return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
+def audio_stft_map(samples: np.ndarray, sample_rate: int = 16000
+                   ) -> np.ndarray:
+    """Log-power STFT map for the `_with_audio` datasets
+    (image_translation_dataset.py:813-817): nperseg 640 / noverlap 560
+    (hop 80 -> 200 stft frames/s, 8 per 25 fps video frame), log power
+    normalized by its max. Returns (321, T_stft)."""
+    from scipy.signal import stft
+
+    if samples.ndim > 1:
+        samples = samples[:, 0]
+    _, _, zxx = stft(samples, fs=sample_rate, nperseg=640, noverlap=560)
+    m = np.log(np.abs(zxx) ** 2 + 1e-10)
+    return m / np.max(m)
+
+
+class ImageTranslationWithAudioDataset(ImageTranslationDataset):
+    """`image_translation_raw98_with_audio_dataset` (:736-830): emits
+    (image_in, image_out, audio_in) for consecutive-frame pairs, where
+    audio_in is the +-5-video-frame (80-column) slice of the log-STFT
+    map resized to (size, size). fps is fixed at 25 like the reference's
+    preprocessed VoxCeleb clips."""
+
+    def __init__(self, frames: np.ndarray, landmarks: np.ndarray,
+                 wav: np.ndarray, sample_rate: int = 16000,
+                 num_frames: int = 1):
+        super().__init__(frames, landmarks)
+        self.stft_map = audio_stft_map(wav, sample_rate)
+        self.num_random_frames = num_frames + 1
+
+    def sample_with_audio(self, rng: np.random.Generator) -> dict:
+        import cv2
+
+        length = len(self)
+        size = self.frames.shape[1]
+        # the reference samples from [5, length-12+5) so the +-5-frame
+        # audio window stays in range (:785-787)
+        idx = rng.permutation(max(1, length - 12))[
+            :self.num_random_frames] + 5
+        frames = self.frames[idx].astype(np.float32) / 255.0
+        image_in = frames[1:]
+        image_out = frames[:-1]
+        audio_in = []
+        for t in idx:
+            clip = self.stft_map[:, (t - 5) * 8:(t + 5) * 8]
+            assert clip.shape[1] == 80, "audio window out of range"
+            audio_in.append(cv2.resize(clip, (size, size)))
+        audio_in = np.stack(audio_in[:-1]).astype(np.float32)[..., None]
+        return {"image_in": image_in, "image_out": image_out,
+                "audio_in": audio_in}

@@ -121,3 +121,35 @@ def grad_norms(grads) -> dict:
     total = sum(jnp.sum(jnp.abs(g)) for g in leaves)
     count = sum(g.size for g in leaves)
     return {"global_norm": jnp.sqrt(sq), "mean_abs": total / max(count, 1)}
+
+
+class Record:
+    """Loss tracker (Module1/util/utils.py:31-64), exact semantics —
+    including add() accumulating the same value into every tracked key."""
+
+    def __init__(self, type_list):
+        self.data = {t: 0.0 for t in type_list}
+        self.count = {t: 0.0 for t in type_list}
+        self.type_list = type_list
+        self.max_min_data = None
+
+    def add(self, new_data, c: float = 1.0):
+        for t in self.type_list:
+            self.data[t] += new_data
+            self.count[t] += c
+
+    def per(self, t):
+        return self.data[t] / (self.count[t] + 1e-32)
+
+    def clean(self, t):
+        self.data[t], self.count[t] = 0.0, 0.0
+
+    def is_better(self, t, greater: bool) -> bool:
+        if self.max_min_data is None:
+            self.max_min_data = self.data[t]
+            return True
+        if (self.data[t] > self.max_min_data if greater
+                else self.data[t] < self.max_min_data):
+            self.max_min_data = self.data[t]
+            return True
+        return False

@@ -43,3 +43,39 @@ def test_vgg19_slices_and_losses(rng):
     y = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
     l, sl = vgg_loss(v, x, y, style=True)
     assert np.isfinite(float(l)) and np.isfinite(float(sl))
+
+
+def test_with_audio_dataset_windows():
+    from animateportrait_tpu.data.image_translation import (
+        ImageTranslationWithAudioDataset, audio_stft_map)
+
+    rng = np.random.default_rng(0)
+    t, size = 30, 64
+    frames = rng.integers(0, 255, (t, size, size, 3)).astype(np.uint8)
+    lms = rng.uniform(0, size, (t, 68, 2)).astype(np.float32)
+    wav = rng.standard_normal(int(16000 * t / 25.0)).astype(np.float32)
+    m = audio_stft_map(wav)
+    # 640-pt nperseg -> 321 freq bins; /max preserves the reference's
+    # sign quirk when the log-power max is negative, so only finiteness
+    # and shape are guaranteed
+    assert m.shape[0] == 321 and np.all(np.isfinite(m))
+    ds = ImageTranslationWithAudioDataset(frames, lms, wav, num_frames=2)
+    out = ds.sample_with_audio(np.random.default_rng(1))
+    assert out["image_in"].shape == (2, size, size, 3)
+    assert out["image_out"].shape == (2, size, size, 3)
+    assert out["audio_in"].shape == (2, size, size, 1)
+
+
+def test_record_tracker():
+    from animateportrait_tpu.utils.observe import Record
+
+    r = Record(["loss"])
+    r.add(2.0)
+    r.add(4.0)
+    assert abs(r.per("loss") - 3.0) < 1e-9
+    assert r.is_better("loss", greater=False)  # first call is True
+    r.clean("loss")
+    r.add(1.0)
+    assert r.is_better("loss", greater=False)
+    r.add(100.0)
+    assert not r.is_better("loss", greater=False)
