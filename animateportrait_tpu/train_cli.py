@@ -95,7 +95,10 @@ def main(argv=None):
         return frozen.replace(**updates) if updates else frozen
 
     frozen = load_frozen()
-    step_fn = jax.jit(m2.build_train_step(cfg))
+    # donate the train state so XLA reuses its buffers in place — the
+    # state is hundreds of arrays and re-allocating it every step costs
+    # real time (and doubles peak memory) on TPU
+    step_fn = jax.jit(m2.build_train_step(cfg), donate_argnums=(0,))
 
     state = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), state)
     frozen = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl),
