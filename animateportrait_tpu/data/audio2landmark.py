@@ -103,6 +103,7 @@ def norm_output_fls_rot(fl_data: np.ndarray,
     (T,68,3)). This is the producer of the `_gaze.pickle` dumps the
     speaker-aware dataset consumes.
     """
+    import jax
     import jax.numpy as jnp
 
     from animateportrait_tpu.ops.geometry import icp
@@ -111,17 +112,18 @@ def norm_output_fls_rot(fl_data: np.ndarray,
         anchor_t_shape = default_anchor_t_shape()
     else:
         anchor_t_shape = anchor_t_shape.reshape(68, 3)[list(T_SHAPE_IDX)]
-    fl = fl_data.reshape(-1, 68, 3).astype(np.float64).copy()
-    rot_trans = np.zeros((fl.shape[0], 3, 4))
-    rot_quats = np.zeros((fl.shape[0], 4))
+    fl = fl_data.reshape(-1, 68, 3).astype(np.float64)
     anchor_j = jnp.asarray(anchor_t_shape)
-    for i in range(fl.shape[0]):
-        t_hom, _ = icp(jnp.asarray(fl[i, list(T_SHAPE_IDX)]), anchor_j)
-        t_hom = np.asarray(t_hom)
-        rot, trans = t_hom[:3, :3], t_hom[:3, 3:4]
-        fl[i] = fl[i] @ rot.T + trans.T
-        rot_trans[i] = t_hom[:3, :]
-        rot_quats[i] = _quat_from_matrix(rot)
+    # one vmapped device call for the whole clip (per-frame host loops
+    # cost a dispatch round trip each on the remote-TPU backend)
+    t_hom = np.asarray(jax.jit(jax.vmap(
+        lambda pts: icp(pts, anchor_j)[0]))(
+        jnp.asarray(fl[:, list(T_SHAPE_IDX)])))
+    rot = t_hom[:, :3, :3]
+    trans = t_hom[:, :3, 3]
+    fl = np.einsum("tij,tpj->tpi", rot, fl) + trans[:, None, :]
+    rot_trans = t_hom[:, :3, :]
+    rot_quats = _quat_from_matrix(rot)
     return rot_trans, rot_quats, fl
 
 

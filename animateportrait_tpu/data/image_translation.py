@@ -70,15 +70,26 @@ def audio_stft_map(samples: np.ndarray, sample_rate: int = 16000
 
 class ImageTranslationWithAudioDataset(ImageTranslationDataset):
     """`image_translation_raw98_with_audio_dataset` (:736-830): emits
-    (image_in, image_out, audio_in) for consecutive-frame pairs, where
+    (image_in, image_out, audio_in) over randomly sampled frames, where
     audio_in is the +-5-video-frame (80-column) slice of the log-STFT
     map resized to (size, size). fps is fixed at 25 like the reference's
-    preprocessed VoxCeleb clips."""
+    preprocessed VoxCeleb clips.
+
+    Pairing note: the reference collects its sampled frames in temporal
+    order but indexes the audio in permutation order (:785-827), so its
+    image/audio pairing is order-dependent; here the sampled indices are
+    sorted so that image_in[k] = frames[s[k+1]],
+    image_out[k] = frames[s[k]] and audio_in[k] is the window around
+    s[k] (the target frame), a consistent triplet."""
 
     def __init__(self, frames: np.ndarray, landmarks: np.ndarray,
                  wav: np.ndarray, sample_rate: int = 16000,
                  num_frames: int = 1):
         super().__init__(frames, landmarks)
+        if len(frames) < 12 + num_frames + 1:
+            raise ValueError(
+                f"clip too short: need >= {12 + num_frames + 1} frames "
+                f"for the +-5-frame audio windows, got {len(frames)}")
         self.stft_map = audio_stft_map(wav, sample_rate)
         self.num_random_frames = num_frames + 1
 
@@ -89,16 +100,17 @@ class ImageTranslationWithAudioDataset(ImageTranslationDataset):
         size = self.frames.shape[1]
         # the reference samples from [5, length-12+5) so the +-5-frame
         # audio window stays in range (:785-787)
-        idx = rng.permutation(max(1, length - 12))[
-            :self.num_random_frames] + 5
+        idx = np.sort(rng.permutation(length - 12)[
+            :self.num_random_frames] + 5)
         frames = self.frames[idx].astype(np.float32) / 255.0
         image_in = frames[1:]
         image_out = frames[:-1]
         audio_in = []
-        for t in idx:
+        for t in idx[:-1]:  # windows around the target (output) frames
             clip = self.stft_map[:, (t - 5) * 8:(t + 5) * 8]
-            assert clip.shape[1] == 80, "audio window out of range"
+            if clip.shape[1] != 80:
+                raise ValueError(f"audio window out of range at frame {t}")
             audio_in.append(cv2.resize(clip, (size, size)))
-        audio_in = np.stack(audio_in[:-1]).astype(np.float32)[..., None]
+        audio_in = np.stack(audio_in).astype(np.float32)[..., None]
         return {"image_in": image_in, "image_out": image_out,
                 "audio_in": audio_in}

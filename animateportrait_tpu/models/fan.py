@@ -22,8 +22,8 @@ import flax.linen as nn
 
 class _BN(nn.Module):
     @nn.compact
-    def __call__(self, x):
-        return nn.BatchNorm(use_running_average=True, momentum=0.9,
+    def __call__(self, x, train: bool = False):
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                             epsilon=1e-5, name="bn")(x)
 
 
@@ -75,20 +75,20 @@ class FANConvBlock(nn.Module):
     out_planes: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         o = self.out_planes
         y1 = nn.Conv(o // 2, (3, 3), padding=1, use_bias=False,
-                     name="conv1")(nn.relu(_BN(name="bn1")(x)))
+                     name="conv1")(nn.relu(_BN(name="bn1")(x, train)))
         y2 = nn.Conv(o // 4, (3, 3), padding=1, use_bias=False,
-                     name="conv2")(nn.relu(_BN(name="bn2")(y1)))
+                     name="conv2")(nn.relu(_BN(name="bn2")(y1, train)))
         y3 = nn.Conv(o // 4, (3, 3), padding=1, use_bias=False,
-                     name="conv3")(nn.relu(_BN(name="bn3")(y2)))
+                     name="conv3")(nn.relu(_BN(name="bn3")(y2, train)))
         out = jnp.concatenate([y1, y2, y3], axis=-1)
         res = x
         if x.shape[-1] != o:
             res = nn.Conv(o, (1, 1), padding=0, use_bias=False,
                           name="down_conv")(
-                nn.relu(_BN(name="down_bn")(x)))
+                nn.relu(_BN(name="down_bn")(x, train)))
         return out + res
 
 
@@ -108,19 +108,21 @@ class FANHourGlass(nn.Module):
     first_one: bool = False
 
     @nn.compact
-    def __call__(self, x, heatmap=None):
+    def __call__(self, x, heatmap=None, train: bool = False):
         cc = CoordConv(256, with_boundary=not self.first_one,
                        name="coordconv")
         x, last = cc(x, heatmap)
 
         def level(inp, lv):
-            up1 = FANConvBlock(256, name=f"b1_{lv}")(inp)
-            low1 = FANConvBlock(256, name=f"b2_{lv}")(_avg_pool2(inp))
+            up1 = FANConvBlock(256, name=f"b1_{lv}")(inp, train)
+            low1 = FANConvBlock(256, name=f"b2_{lv}")(
+                _avg_pool2(inp), train)
             if lv > 1:
                 low2 = level(low1, lv - 1)
             else:
-                low2 = FANConvBlock(256, name=f"b2_plus_{lv}")(low1)
-            low3 = FANConvBlock(256, name=f"b3_{lv}")(low2)
+                low2 = FANConvBlock(256, name=f"b2_plus_{lv}")(low1,
+                                                               train)
+            low3 = FANConvBlock(256, name=f"b3_{lv}")(low2, train)
             return up1 + _up2_nearest(low3)
 
         return level(x, self.depth), last
@@ -135,23 +137,23 @@ class FAN(nn.Module):
     end_relu: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         x, _ = CoordConv(64, kernel=7, stride=2, padding=3,
                          name="conv1")(x)
-        x = nn.relu(_BN(name="bn1")(x))
-        x = _avg_pool2(FANConvBlock(128, name="conv2")(x))
-        x = FANConvBlock(128, name="conv3")(x)
-        x = FANConvBlock(256, name="conv4")(x)
+        x = nn.relu(_BN(name="bn1")(x, train))
+        x = _avg_pool2(FANConvBlock(128, name="conv2")(x, train))
+        x = FANConvBlock(128, name="conv3")(x, train)
+        x = FANConvBlock(256, name="conv4")(x, train)
 
         previous, tmp_out = x, None
         outputs, boundaries = [], []
         for i in range(self.num_modules):
             hg, boundary = FANHourGlass(
                 depth=4, first_one=(i == 0), name=f"m{i}")(
-                previous, tmp_out)
-            ll = FANConvBlock(256, name=f"top_m_{i}")(hg)
+                previous, tmp_out, train)
+            ll = FANConvBlock(256, name=f"top_m_{i}")(hg, train)
             ll = nn.Conv(256, (1, 1), padding=0, name=f"conv_last{i}")(ll)
-            ll = nn.relu(_BN(name=f"bn_end{i}")(ll))
+            ll = nn.relu(_BN(name=f"bn_end{i}")(ll, train))
             tmp_out = nn.Conv(self.num_landmarks + 1, (1, 1), padding=0,
                               name=f"l{i}")(ll)
             if self.end_relu:
@@ -240,14 +242,14 @@ def gaussian_heatmaps(points: jax.Array, size_hw: tuple[int, int],
     return jnp.transpose(maps, (1, 2, 0))
 
 
-def adaptive_wing_loss(pred: jax.Array, target: jax.Array,
-                       omega: float = 14.0, theta: float = 0.5,
-                       epsilon: float = 1.0, alpha: float = 2.1
-                       ) -> jax.Array:
-    """Adaptive Wing loss (Wang et al. 2019) — the loss the reference's
-    FAN checkpoints were trained with (the AdaptiveWingLoss project the
-    reference vendors ships only the trained model; the formula is from
-    the paper)."""
+def adaptive_wing_map(pred: jax.Array, target: jax.Array,
+                      omega: float = 14.0, theta: float = 0.5,
+                      epsilon: float = 1.0, alpha: float = 2.1
+                      ) -> jax.Array:
+    """Per-element Adaptive Wing loss map (Wang et al. 2019) — the loss
+    the reference's FAN checkpoints were trained with (the
+    AdaptiveWingLoss project the reference vendors ships only the trained
+    model; the formula is from the paper)."""
     delta = jnp.abs(target - pred)
     a = omega * (1.0 / (1.0 + jnp.power(theta / epsilon,
                                         alpha - target))) * \
@@ -257,7 +259,13 @@ def adaptive_wing_loss(pred: jax.Array, target: jax.Array,
                                                 alpha - target))
     small = omega * jnp.log1p(jnp.power(delta / epsilon, alpha - target))
     large = a * delta - c
-    return jnp.mean(jnp.where(delta < theta, small, large))
+    return jnp.where(delta < theta, small, large)
+
+
+def adaptive_wing_loss(pred: jax.Array, target: jax.Array,
+                       **kw) -> jax.Array:
+    """Mean Adaptive Wing loss (see :func:`adaptive_wing_map`)."""
+    return jnp.mean(adaptive_wing_map(pred, target, **kw))
 
 
 _NME_EVAL = {"68", "98", "29", "19"}

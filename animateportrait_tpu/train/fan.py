@@ -24,6 +24,7 @@ Behavioral reimplementation of
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
 import numpy as np
@@ -33,7 +34,9 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from animateportrait_tpu.models.fan import FAN, draw_gaussian, fan_nme
+from animateportrait_tpu.models.fan import (FAN, adaptive_wing_map,
+                                            fan_nme,
+                                            gaussian_heatmaps)
 
 BOUNDARY_GROUPS_68 = {
     "cheek": list(range(0, 17)),
@@ -119,10 +122,8 @@ def make_fan_targets(landmarks: np.ndarray, hm_size: int = 64
     (:336) plus the boundary channel."""
     p = landmarks.shape[0]
     hm = np.zeros((hm_size, hm_size, p + 1), np.float32)
-    for i in range(p):
-        hm[..., i] = np.asarray(draw_gaussian(
-            jnp.zeros((hm_size, hm_size)),
-            jnp.asarray(landmarks[i, :2] / 4.0 + 1.0), 1))
+    hm[..., :p] = np.asarray(gaussian_heatmaps(
+        jnp.asarray(landmarks[:, :2] / 4.0 + 1.0), (hm_size, hm_size), 1))
     hm[..., p] = boundary_heatmap(landmarks, size=hm_size)
     return hm, weight_map(hm)
 
@@ -158,31 +159,22 @@ def build_fan_train_step(cfg: FANTrainConfig, tx):
                 num_landmarks=cfg.num_landmarks)
 
     def loss_fn(params, variables, images, gt, weights):
-        # FAN outputs already carry the boundary channel (P+1 maps)
-        outputs, _ = model.apply({**variables, "params": params}, images)
+        # FAN outputs already carry the boundary channel (P+1 maps);
+        # BatchNorm runs in train mode with running-stat updates
+        (outputs, _), mutated = model.apply(
+            {**variables, "params": params}, images, train=True,
+            mutable=["batch_stats"])
         loss = 0.0
         for pred in outputs:
             # weighted AWing: per-pixel loss map scaled by (W*mask + 1)
             loss = loss + jnp.mean(
-                _awing_map(pred, gt) * (weights * cfg.loss_w + 1.0))
-        return loss
-
-    def _awing_map(pred, target, omega=14.0, theta=0.5, epsilon=1.0,
-                   alpha=2.1):
-        delta = jnp.abs(target - pred)
-        a = omega * (1.0 / (1.0 + jnp.power(theta / epsilon,
-                                            alpha - target))) * \
-            (alpha - target) * jnp.power(theta / epsilon,
-                                         alpha - target - 1.0) / epsilon
-        c = theta * a - omega * jnp.log1p(
-            jnp.power(theta / epsilon, alpha - target))
-        small = omega * jnp.log1p(
-            jnp.power(delta / epsilon, alpha - target))
-        return jnp.where(delta < theta, small, a * delta - c)
+                adaptive_wing_map(pred, gt) * (weights * cfg.loss_w + 1.0))
+        return loss, mutated["batch_stats"]
 
     @jax.jit
     def train_step(state: FANTrainState, images, gt, weights):
-        loss, grads = jax.value_and_grad(loss_fn)(
+        (loss, batch_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(
             state.variables["params"], state.variables, images, gt,
             weights)
         updates, opt = tx.update(grads, state.opt,
@@ -190,7 +182,8 @@ def build_fan_train_step(cfg: FANTrainConfig, tx):
         params = optax.apply_updates(state.variables["params"], updates)
         return state.replace(
             step=state.step + 1,
-            variables={**state.variables, "params": params},
+            variables={**state.variables, "params": params,
+                       "batch_stats": batch_stats},
             opt=opt), loss
 
     return train_step
@@ -199,20 +192,30 @@ def build_fan_train_step(cfg: FANTrainConfig, tx):
 def evaluate_fan(variables, images: np.ndarray, gt_landmarks: np.ndarray,
                  cfg: FANTrainConfig, batch_size: int = 8) -> float:
     """Mean NME over a dataset (evaler.py:21-128)."""
-    model = FAN(num_modules=cfg.num_modules,
-                num_landmarks=cfg.num_landmarks)
-
-    @jax.jit
-    def fwd(x):
-        outputs, _ = model.apply(variables, x)
-        # drop the boundary channel before decoding landmarks
-        return outputs[-1][..., :cfg.num_landmarks]
-
+    fwd = _eval_forward(cfg.num_modules, cfg.num_landmarks)
     total, n = 0.0, 0
     for i in range(0, len(images), batch_size):
-        xb = jnp.asarray(images[i:i + batch_size], jnp.float32)
-        hm = fwd(xb)
-        total += float(fan_nme(hm, jnp.asarray(gt_landmarks[i:i + len(xb)]),
+        xb = np.asarray(images[i:i + batch_size], np.float32)
+        k = len(xb)
+        if k < batch_size:  # pad the ragged tail to avoid a recompile
+            xb = np.concatenate(
+                [xb, np.zeros((batch_size - k,) + xb.shape[1:],
+                              np.float32)])
+        hm = fwd(variables, jnp.asarray(xb))[:k]
+        total += float(fan_nme(hm, jnp.asarray(gt_landmarks[i:i + k]),
                                cfg.num_landmarks))
-        n += len(xb)
+        n += k
     return total / max(n, 1)
+
+
+@functools.lru_cache(maxsize=4)
+def _eval_forward(num_modules: int, num_landmarks: int):
+    model = FAN(num_modules=num_modules, num_landmarks=num_landmarks)
+
+    @jax.jit
+    def fwd(variables, x):
+        outputs, _ = model.apply(variables, x)
+        # drop the boundary channel before decoding landmarks
+        return outputs[-1][..., :num_landmarks]
+
+    return fwd

@@ -27,8 +27,28 @@ def coords(key):
 
 
 def variant_a(img, iy, ix):
-    from animateportrait_tpu.ops.warp import sample_bilinear
-    return sample_bilinear(img, iy, ix)
+    """The HISTORICAL four-single-tap formulation (inlined so the
+    comparison stays reproducible after ops/warp.py switched to the
+    fused lane-augmented gather)."""
+    y0 = jnp.floor(iy)
+    x0 = jnp.floor(ix)
+    wy = (iy - y0)[..., None].astype(img.dtype)
+    wx = (ix - x0)[..., None].astype(img.dtype)
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    flat = img.reshape(N, H * W, C)
+
+    def gather(yc, xc):
+        idx = jnp.clip(yc, 0, H - 1) * W + jnp.clip(xc, 0, W - 1)
+        return jnp.take_along_axis(flat, idx.reshape(N, -1, 1), axis=1)
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x0i + 1)
+    v10 = gather(y0i + 1, x0i)
+    v11 = gather(y0i + 1, x0i + 1)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
 
 
 def variant_b(img, iy, ix):
