@@ -97,6 +97,23 @@ def vis_landmark_on_img98(img, shape, linewidth=2):
     return vis_landmark_on_img(img, shape, linewidth, _CURVES_98)
 
 
+_CURVES_74 = (
+    (list(range(0, 16)), (255, 144, 25), False),   # jaw
+    (list(range(17, 21)), (50, 205, 50), False),   # brows
+    (list(range(22, 26)), (50, 205, 50), False),
+    (list(range(27, 35)), (208, 224, 63), False),  # nose
+    (list(range(36, 43)), (71, 99, 255), True),    # eyes
+    (list(range(44, 51)), (71, 99, 255), True),
+    (list(range(52, 63)), (238, 130, 238), True),  # mouth
+    (list(range(64, 71)), (238, 130, 238), True),
+)
+
+
+def vis_landmark_on_img74(img, shape, linewidth=2):
+    """74-pt variant (data_preparation.py:245-266)."""
+    return vis_landmark_on_img(img, shape, linewidth, _CURVES_74)
+
+
 def show_bboxes(img_bgr: np.ndarray, boxes: np.ndarray,
                 landmarks: np.ndarray | None = None) -> np.ndarray:
     """Draw detection boxes (+ 5-pt landmarks) on a copy of the image
