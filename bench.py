@@ -26,7 +26,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 H = 256
-STEPS = int(os.environ.get("BENCH_STEPS", "20"))
+STEPS = int(os.environ.get("BENCH_STEPS", "32"))
 
 
 def bench_jax() -> float:
