@@ -20,12 +20,26 @@ import numpy as np
 
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("animateportrait")
-    p.add_argument("--jpg", required=True, help="input face photo")
-    p.add_argument("--audio", required=True, help="input speech wav")
+    p.add_argument("--jpg", help="input face photo")
+    p.add_argument("--audio", help="input speech wav")
+    p.add_argument("--video", help="input video: first frame becomes the "
+                   "photo; audio extracted via ffmpeg when available")
+    p.add_argument("--rerun", type=int, default=0,
+                   help="accepted for reference-CLI parity; the pipeline "
+                   "is in-memory so there are no stage files to redo")
+    p.add_argument("--epoch", default="70",
+                   help="generator checkpoint epoch to load")
     p.add_argument("--exp", default="formal/drawing",
                    help="style: formal/drawing | formal/cartoon")
-    p.add_argument("--output", default="output")
+    p.add_argument("--output", "--output_folder", default="output")
     p.add_argument("--ckpt_dir", default="checkpoints")
+    p.add_argument("--load_AUTOVC_name", default="ckpt_autovc.pth")
+    p.add_argument("--load_a2l_G_name", default="ckpt_speaker_branch.pth")
+    p.add_argument("--load_a2l_C_name", default="ckpt_content_branch.pth")
+    p.add_argument("--emb_coef", type=float, default=3.0)
+    p.add_argument("--reuse_train_emb_list", nargs="+", default=[],
+                   help="accepted for parity; requires the training "
+                   "embedding dumps, which this build does not ship")
     p.add_argument("--amp_lip_x", type=float, default=2.0)
     p.add_argument("--amp_lip_y", type=float, default=2.0)
     p.add_argument("--amp_pos", type=float, default=0.5)
@@ -107,7 +121,7 @@ def build_pipeline(args):
 
     T0 = 32
     autovc_v = _load_or_init(
-        os.path.join(cd, "ckpt_autovc.pth"), load_autovc_params,
+        os.path.join(cd, args.load_AUTOVC_name), load_autovc_params,
         lambda: AutoVCGenerator().init(
             key, jnp.zeros((1, T0, 80)), jnp.zeros((1, 256)),
             jnp.zeros((1, 256)), jnp.zeros((1, T0, 257))), "autovc",
@@ -115,23 +129,24 @@ def build_pipeline(args):
     audio = AudioPipeline(autovc_v)
 
     pos_v = _load_or_init(
-        os.path.join(cd, "ckpt_speaker_branch.pth"), load_pos_params,
+        os.path.join(cd, args.load_a2l_G_name), load_pos_params,
         lambda: Audio2landmarkPos().init(
             key, jnp.zeros((4, 18, 80)), jnp.zeros((4, 256)),
             jnp.zeros((1, 204)), jnp.zeros((4, 128))), "speaker branch",
         unwrap="G")
     cont_v = _load_or_init(
-        os.path.join(cd, "ckpt_content_branch.pth"), load_content_params,
+        os.path.join(cd, args.load_a2l_C_name), load_content_params,
         lambda: Audio2landmarkContent().init(
             key, jnp.zeros((4, 18, 80)), jnp.zeros((1, 204))),
         "content branch", unwrap="model_g_face_id")
     predictor = LandmarkPredictor(pos_v, cont_v, amp_pos=args.amp_pos,
                                   amp_lip_x=args.amp_lip_x,
-                                  amp_lip_y=args.amp_lip_y)
+                                  amp_lip_y=args.amp_lip_y,
+                                  emb_coef=args.emb_coef)
 
     cs = 256
     gen_v = _load_or_init(
-        os.path.join(cd, args.exp, "70_net_G_A.pth"),
+        os.path.join(cd, args.exp, f"{args.epoch}_net_G_A.pth"),
         lambda sd: load_trident_full_ifw_params(sd),
         lambda: TridentGeneratorFullIFW(output_nc=nc, div=3, disp=3).init(
             key, jnp.zeros((1, cs, cs, 3)), jnp.zeros((1, cs, cs, 1)),
@@ -172,6 +187,36 @@ def build_pipeline(args):
     return TalkingPortraitPipeline(detector, predictor, audio, renderer)
 
 
+def _split_video(video_path: str, audio_path: str | None):
+    """--video support (main_end2end_module2.py:161-183): first frame ->
+    temp jpg; audio via ffmpeg when installed, else an explicit --audio
+    must accompany --video (this image has no ffmpeg)."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    import cv2
+
+    tmp = tempfile.mkdtemp(prefix="animateportrait_")
+    cap = cv2.VideoCapture(video_path)
+    ok, frame = cap.read()
+    cap.release()
+    if not ok:
+        raise SystemExit(f"cannot read a frame from {video_path}")
+    jpg = os.path.join(tmp, "frame.jpg")
+    cv2.imwrite(jpg, frame)
+    if audio_path:
+        return jpg, audio_path
+    if shutil.which("ffmpeg"):
+        wav = os.path.join(tmp, "audio.wav")
+        subprocess.run(["ffmpeg", "-y", "-loglevel", "error", "-i",
+                        video_path, "-vn", "-ar", "16000", "-ac", "1",
+                        wav], check=True)
+        return jpg, wav
+    raise SystemExit("--video without --audio needs ffmpeg on PATH to "
+                     "extract the soundtrack")
+
+
 def main(argv=None):
     args = build_argparser().parse_args(argv)
     import cv2
@@ -179,6 +224,14 @@ def main(argv=None):
     from animateportrait_tpu.pipeline.audio import load_wav
     from animateportrait_tpu.utils.video import write_video_with_audio
 
+    if args.video:
+        args.jpg, args.audio = _split_video(args.video, args.audio)
+    if not args.jpg or not args.audio:
+        raise SystemExit("need --jpg and --audio (or --video)")
+    if args.reuse_train_emb_list:
+        print("[animateportrait] --reuse_train_emb_list needs the "
+              "training embedding dumps; computing the embedding from "
+              "--audio instead")
     pipeline = build_pipeline(args)
     img = cv2.imread(args.jpg)
     if img is None:

@@ -140,12 +140,13 @@ class LandmarkPredictor:
 
     def __init__(self, pos_variables, content_variables,
                  amp_pos: float = 0.5, amp_lip_x: float = 2.0,
-                 amp_lip_y: float = 2.0):
+                 amp_lip_y: float = 2.0, emb_coef: float = 3.0):
         self.pos_variables = pos_variables
         self.content_variables = content_variables
         self.amp_pos = amp_pos
         self.amp_lip_x = amp_lip_x
         self.amp_lip_y = amp_lip_y
+        self.emb_coef = emb_coef
         self._G = Audio2landmarkPos()
         self._C = Audio2landmarkContent()
         self._segment_jit = jax.jit(
@@ -156,7 +157,7 @@ class LandmarkPredictor:
         T = aus.shape[0]
         z = jnp.zeros((T, 128), jnp.float32)
         fl_dis, _, _ = self._G.apply(
-            self.pos_variables, aus, embs * 3.0, face_id, z)
+            self.pos_variables, aus, embs * self.emb_coef, face_id, z)
         smooth_len = min(T - 1, smooth_win) // 2 * 2 + 1
         fl_dis = savgol_filter(fl_dis, smooth_len, 3, axis=0)
         fl_dis = close_mouth_blend(fl_dis.reshape(-1, 68, 3)).reshape(-1, 204)

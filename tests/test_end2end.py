@@ -92,3 +92,41 @@ def test_end_to_end_smoke(rng, tmp_path):
         n += 1
     assert n == T
     assert abs(cap.get(cv2.CAP_PROP_FPS) - 62.5) < 0.1
+
+
+def test_cli_flag_surface():
+    """The reference driver's flags are accepted
+    (main_end2end_module2.py:130-159)."""
+    from animateportrait_tpu.cli import build_argparser
+
+    args = build_argparser().parse_args([
+        "--jpg", "x.jpg", "--audio", "y.wav", "--exp", "formal/cartoon",
+        "--rerun", "1", "--epoch", "35",
+        "--load_AUTOVC_name", "a.pth", "--load_a2l_G_name", "g.pth",
+        "--load_a2l_C_name", "c.pth", "--amp_lip_x", "1.5",
+        "--amp_lip_y", "1.5", "--amp_pos", "0.3", "--emb_coef", "2.0",
+        "--reuse_train_emb_list", "spk1", "spk2",
+        "--output_folder", "/tmp/out"])
+    assert args.epoch == "35" and args.output == "/tmp/out"
+    assert args.reuse_train_emb_list == ["spk1", "spk2"]
+    assert args.load_AUTOVC_name == "a.pth"
+
+
+def test_cli_video_requires_audio_without_ffmpeg(tmp_path, monkeypatch):
+    import shutil
+
+    import cv2
+
+    from animateportrait_tpu.cli import _split_video
+
+    vid = str(tmp_path / "clip.avi")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"MJPG"), 25,
+                        (32, 32))
+    for _ in range(3):
+        w.write(np.zeros((32, 32, 3), np.uint8))
+    w.release()
+    jpg, wav = _split_video(vid, "given.wav")
+    assert jpg.endswith("frame.jpg") and wav == "given.wav"
+    monkeypatch.setattr(shutil, "which", lambda _: None)
+    with pytest.raises(SystemExit):
+        _split_video(vid, None)
