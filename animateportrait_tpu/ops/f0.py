@@ -86,11 +86,16 @@ def track_f0(
     denom = jnp.sqrt(jnp.maximum(e0 * ek, 1e-12))
     nccf = corr / denom  # (T, L+1)
 
-    # restrict to valid lag band
+    # restrict to valid lag band; pick with RAPT's short-lag bias
+    # (LAG_WT ~ 0.3) so period-doubled peaks of harmonic-rich frames
+    # don't win ties — a periodic signal correlates equally at T and 2T
     band = (lags_all >= lag_min) & (lags_all <= lag_max)
-    nccf_b = jnp.where(band[None, :], nccf, -jnp.inf)
-    k_star = jnp.argmax(nccf_b, axis=1)  # (T,)
-    peak = jnp.take_along_axis(nccf_b, k_star[:, None], axis=1)[:, 0]
+    lag_wt = 0.3
+    score = nccf - lag_wt * (lags_all[None, :] / lag_max)
+    score_b = jnp.where(band[None, :], score, -jnp.inf)
+    k_star = jnp.argmax(score_b, axis=1)  # (T,)
+    # voicing uses the RAW nccf value at the chosen lag
+    peak = jnp.take_along_axis(nccf, k_star[:, None], axis=1)[:, 0]
 
     # parabolic sub-lag refinement around the peak
     km = jnp.clip(k_star - 1, 0, lag_max)
