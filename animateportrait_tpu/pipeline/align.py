@@ -34,12 +34,14 @@ def align_face(img_bgr: np.ndarray, boxes: np.ndarray,
     best = None
     best_idx = -1
     for k, face in enumerate(boxes):
-        x1, y1, x2, y2 = face[:4]
+        x1, y1, x2, y2 = (float(v) for v in face[:4])
         w = x2 - x1 + 1
         h = y2 - y1 + 1
         size = int(min(w, h) * 1.2)
-        cx = int(x1 + w // 2)
-        cy = int(y1 + h // 2)
+        # keep cx/cy float like the reference; int() truncation happens
+        # only at the final corner computation (:24-31)
+        cx = x1 + w // 2
+        cy = y1 + h // 2
         if size > maxs:
             maxs = size
             size1 = int(round(size / 0.7))
