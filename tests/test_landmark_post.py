@@ -203,3 +203,19 @@ def test_inverse_lip_frame0_inverted(rng):
     assert not np.allclose(ref[0], fl[0])  # frame 0 was actually fixed
     ours = solve_inverse_lip(jnp.asarray(fl))
     np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
+
+
+def test_hann_smooth_matches_reference():
+    """hann_smooth vs a direct port of utils.py smooth('hanning')."""
+    from animateportrait_tpu.ops.filters import hann_smooth
+
+    def ref_smooth(x, window_len=11):
+        s = np.r_[x[window_len - 1:0:-1], x, x[-2:-window_len - 1:-1]]
+        w = np.hanning(window_len)
+        return np.convolve(w / w.sum(), s, mode="valid")
+
+    rng_l = np.random.default_rng(7)
+    for n, wl in ((40, 11), (25, 7)):
+        x = rng_l.standard_normal(n).astype(np.float32)
+        ours = np.asarray(hann_smooth(jnp.asarray(x), wl))
+        np.testing.assert_allclose(ours, ref_smooth(x, wl), atol=1e-5)
