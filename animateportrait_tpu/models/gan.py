@@ -447,10 +447,57 @@ def load_resnet_g_params(sd, n_blocks: int = 9) -> dict:
     return {"params": p}
 
 
-def init_weights_normal(params, rng: np.random.Generator | None = None,
-                        gain: float = 0.02):
-    """'normal' init (networks.py:71-102): conv/linear weights ~ N(0, 0.02),
-    biases 0 — applied when training from scratch to match the reference."""
+def _orthogonal_matrix(rng: np.random.Generator, rows: int, cols: int,
+                       gain: float) -> np.ndarray:
+    """torch.nn.init.orthogonal_ semantics: QR of a gaussian, sign-fixed."""
+    a = rng.standard_normal((rows, cols))
+    if rows < cols:
+        a = a.T
+    q, r = np.linalg.qr(a)
+    q = q * np.sign(np.diag(r))
+    if rows < cols:
+        q = q.T
+    return (gain * q).astype(np.float32)
+
+
+def _init_kernel(rng: np.random.Generator, shape, init_type: str,
+                 gain: float) -> np.ndarray:
+    """One conv/linear kernel in HWIO (or IO) layout, matching the torch
+    initializers dispatched in the reference (networks.py:71-102)."""
+    shape = tuple(shape)
+    rf = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
+    fan_in = int(np.prod(shape[:-1]))
+    fan_out = shape[-1] * rf
+    if init_type == "normal":
+        return rng.normal(0.0, gain, shape).astype(np.float32)
+    if init_type == "xavier":
+        # init.xavier_normal_(w, gain): std = gain*sqrt(2/(fan_in+fan_out))
+        std = gain * np.sqrt(2.0 / (fan_in + fan_out))
+        return rng.normal(0.0, std, shape).astype(np.float32)
+    if init_type == "kaiming":
+        # init.kaiming_normal_(w, a=0, mode='fan_in'): std = sqrt(2/fan_in)
+        std = np.sqrt(2.0 / fan_in)
+        return rng.normal(0.0, std, shape).astype(np.float32)
+    if init_type == "orthogonal":
+        # torch flattens OIHW to (out, in*kh*kw); our HWIO kernels map to
+        # the same matrix via a transpose.
+        out_ch = shape[-1]
+        rest = fan_in
+        q = _orthogonal_matrix(rng, out_ch, rest, gain)  # (O, I*kh*kw)
+        return np.ascontiguousarray(
+            q.reshape((out_ch,) + shape[:-1]).transpose(
+                tuple(range(1, len(shape))) + (0,)))
+    raise ValueError(f"unknown init_type {init_type!r}")
+
+
+def init_weights(params, init_type: str = "normal",
+                 rng: np.random.Generator | None = None,
+                 gain: float = 0.02):
+    """From-scratch init matching the reference's ``init_weights``
+    (networks.py:71-102): conv/linear kernels per ``init_type``
+    (normal | xavier | kaiming | orthogonal), biases 0, norm scales
+    ~ N(1, gain) (the BatchNorm branch; InstanceNorm here is affine-free,
+    so ``scale`` leaves only appear for batch/group norms)."""
     if rng is None:
         rng = np.random.default_rng(0)
 
@@ -460,7 +507,9 @@ def init_weights_normal(params, rng: np.random.Generator | None = None,
             if isinstance(v, dict):
                 out[k] = visit(v)
             elif k in ("kernel",):
-                out[k] = rng.normal(0.0, gain, v.shape).astype(np.float32)
+                out[k] = _init_kernel(rng, v.shape, init_type, gain)
+            elif k in ("scale",):
+                out[k] = rng.normal(1.0, gain, v.shape).astype(np.float32)
             elif k in ("bias",):
                 out[k] = np.zeros(v.shape, np.float32)
             else:
@@ -469,3 +518,9 @@ def init_weights_normal(params, rng: np.random.Generator | None = None,
 
     return jax.tree_util.tree_map(
         jnp.asarray, visit(jax.tree_util.tree_map(np.asarray, params)))
+
+
+def init_weights_normal(params, rng: np.random.Generator | None = None,
+                        gain: float = 0.02):
+    """'normal' init: conv/linear weights ~ N(0, 0.02), biases 0."""
+    return init_weights(params, "normal", rng, gain)

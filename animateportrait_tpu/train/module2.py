@@ -59,6 +59,10 @@ class Module2Config:
     beta1: float = 0.5
     niter: int = 70
     niter_decay: int = 0
+    lr_policy: str = "linear"    # linear | step | plateau | cosine
+    lr_decay_iters: int = 50     # StepLR step_size for lr_policy='step'
+    init_type: str = "normal"    # normal | xavier | kaiming | orthogonal
+    init_gain: float = 0.02
     steps_per_epoch: int = 1000
     pool_size: int = 50
     gan_mode: str = "lsgan"
@@ -245,8 +249,8 @@ def init_state(cfg: Module2Config, rng, example_batch) -> TrainState:
     g_vars = g.init(kg, b["real_A"], b["A_lm"], b["tB_lm"],
                     b["warp_motion"], jnp.zeros_like(b["warp_motion"]),
                     jnp.zeros(b["real_A"].shape[:3] + (1,)))
-    g_params = gan_lib.init_weights_normal(g_vars["params"],
-                                           np.random.default_rng(0))
+    g_params = gan_lib.init_weights(g_vars["params"], cfg.init_type,
+                                    np.random.default_rng(0), cfg.init_gain)
 
     nc = cfg.output_nc
     local_nc = nc + 1 if cfg.mask_type in (2, 3) else nc
@@ -260,8 +264,9 @@ def init_state(cfg: Module2Config, rng, example_batch) -> TrainState:
             continue
         dv = NLayerDiscriminator(ndf=cfg.ndf, n_layers=cfg.n_layers_d).init(
             k, jnp.zeros((1, H, H, in_nc)))
-        d_params[name] = gan_lib.init_weights_normal(
-            dv["params"], np.random.default_rng(1))
+        d_params[name] = gan_lib.init_weights(
+            dv["params"], cfg.init_type, np.random.default_rng(1),
+            cfg.init_gain)
 
     g_tx = make_optimizer(cfg)
     d_tx = make_optimizer(cfg)
@@ -277,11 +282,22 @@ def init_state(cfg: Module2Config, rng, example_batch) -> TrainState:
 
 
 def make_optimizer(cfg: Module2Config) -> optax.GradientTransformation:
-    """Adam + the reference's linear lr policy (constant for niter epochs,
-    then linear decay over niter_decay epochs; get_scheduler 'linear',
-    networks.py:42-56)."""
+    """Adam + the reference's lr policies (get_scheduler, networks.py:42-68):
+    'linear' (constant for niter epochs, then linear decay over niter_decay),
+    'step' (StepLR gamma 0.1 every lr_decay_iters epochs), 'plateau'
+    (ReduceLROnPlateau factor .2 patience 5 — Module2 always steps it with
+    metric=0 (base_model.py:117-126), so it degenerates to a deterministic
+    x0.2 every 6 epochs after the first; reproduced exactly), and 'cosine'
+    (CosineAnnealingLR T_max=niter, eta_min=0)."""
     def schedule(step):
         epoch = step // cfg.steps_per_epoch  # 0-based
+        if cfg.lr_policy == "step":
+            return cfg.lr * jnp.power(0.1, epoch // cfg.lr_decay_iters)
+        if cfg.lr_policy == "plateau":
+            return cfg.lr * jnp.power(0.2, jnp.maximum(0, epoch - 1) // 6)
+        if cfg.lr_policy == "cosine":
+            return cfg.lr * 0.5 * (
+                1.0 + jnp.cos(jnp.pi * epoch / max(cfg.niter, 1)))
         decay = jnp.maximum(0, epoch + 1 - cfg.niter) / max(
             cfg.niter_decay + 1, 1)
         return cfg.lr * jnp.clip(1.0 - decay, 0.0, 1.0)

@@ -57,7 +57,9 @@ def build_train_argparser() -> argparse.ArgumentParser:
     p.add_argument("--beta1", type=float, default=0.5)
     p.add_argument("--gan_mode", default="lsgan")
     p.add_argument("--pool_size", type=int, default=50)
-    p.add_argument("--lr_policy", default="linear")
+    p.add_argument("--lr_policy", default="linear",
+                   choices=["linear", "step", "plateau", "cosine"])
+    p.add_argument("--lr_decay_iters", type=int, default=50)
     p.add_argument("--continue_train", action="store_true")
     p.add_argument("--epoch", default="latest")
     p.add_argument("--save_epoch_freq", type=int, default=5)
@@ -102,6 +104,8 @@ def to_configs(args: argparse.Namespace
         netg_resb_disp=args.netg_resb_disp,
         lr=args.lr, beta1=args.beta1,
         niter=args.niter, niter_decay=args.niter_decay,
+        lr_policy=args.lr_policy, lr_decay_iters=args.lr_decay_iters,
+        init_type=args.init_type, init_gain=args.init_gain,
         steps_per_epoch=args.steps_per_epoch,
         pool_size=args.pool_size, gan_mode=args.gan_mode,
         lambda_geom=args.lambda_geom,
