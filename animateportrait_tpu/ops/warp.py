@@ -36,6 +36,23 @@ def _unnormalize(coord: jax.Array, size: int, align_corners: bool) -> jax.Array:
     return ((coord + 1.0) * size - 1.0) * 0.5
 
 
+# XLA's TPU gather emitter falls off its fast (DMA-pipelined) path onto a
+# ~12 ns-per-row serial path once the gather operand grows past roughly
+# 200k rows / ~50 MB (measured on v5e: (528k,128)-row bf16 takes 6.4 ms vs
+# 0.14 ms for the same gather from a (132k,128) operand). Batched warps
+# therefore split the batch into chunks whose aug operand stays inside
+# both limits — identical math, 4-5x faster at (8,256,256,32).
+_GATHER_ROW_LIMIT = 160_000
+_GATHER_BYTE_LIMIT = 40 * 1024 * 1024
+
+
+def _gather_chunk(n_batch: int, rows_per_item: int, row_bytes: int) -> int:
+    per_item_bytes = rows_per_item * row_bytes
+    chunk = max(1, min(_GATHER_ROW_LIMIT // max(rows_per_item, 1),
+                       _GATHER_BYTE_LIMIT // max(per_item_bytes, 1)))
+    return min(chunk, n_batch)
+
+
 def sample_bilinear(
     img: jax.Array,
     iy: jax.Array,
@@ -59,52 +76,82 @@ def sample_bilinear(
     grid_sample-exact) are preserved via the pad ring + unclipped-coord
     masks.
     """
-    N, H, W, C = img.shape
-    y0 = jnp.floor(iy)
-    x0 = jnp.floor(ix)
-    wy = iy - y0
-    wx = ix - x0
-    y0i = y0.astype(jnp.int32)
-    x0i = x0.astype(jnp.int32)
+    return sample_bilinear_multi(img, [(iy, ix)], padding_mode)[0]
 
+
+def sample_bilinear_multi(
+    img: jax.Array,
+    coords: list[tuple[jax.Array, jax.Array]],
+    padding_mode: str = "zeros",
+) -> list[jax.Array]:
+    """Bilinearly sample ``img`` at several coordinate fields at once.
+
+    Same semantics as :func:`sample_bilinear` per (iy, ix) pair, but the
+    padded/augmented image is built ONCE and shared by all samples — the
+    generator's ``double_feature_warping`` (networks.py:1296-1313) warps
+    the same features by both the TPS motion grid and the intrinsic flow,
+    so sharing the aug halves its HBM traffic.
+    """
+    N, H, W, C = img.shape
     pad_kw = ({"mode": "edge"} if padding_mode == "border"
               else {"mode": "constant"})
     p = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)), **pad_kw)
-    # aug[n, y, x] = [P[y,x], P[y,x+1], P[y+1,x], P[y+1,x+1]] in padded
-    # coordinates; gathering at (clip(y0)+1, clip(x0)+1) yields all taps
-    aug = jnp.concatenate(
-        [p[:, :-1, :-1], p[:, :-1, 1:], p[:, 1:, :-1], p[:, 1:, 1:]],
-        axis=-1)
-    gy = jnp.clip(y0i, -1, H - 1) + 1
-    gx = jnp.clip(x0i, -1, W - 1) + 1
-    idx = gy * (W + 1) + gx
-    # single flat gather across the batch: ~16% faster than a batched
-    # take_along_axis on v5e (one gather dimension instead of a batch dim)
-    base = (jnp.arange(N, dtype=jnp.int32)
-            * ((H + 1) * (W + 1))).reshape(N, *([1] * (idx.ndim - 1)))
-    flat_idx = (idx + base).reshape(-1)
-    v = jnp.take(aug.reshape(N * (H + 1) * (W + 1), 4 * C), flat_idx,
-                 axis=0, mode="clip").reshape(*idx.shape, 4 * C)
-    v00, v01 = v[..., :C], v[..., C:2 * C]
-    v10, v11 = v[..., 2 * C:3 * C], v[..., 3 * C:]
+    rows = (H + 1) * (W + 1)
+    chunk = _gather_chunk(N, rows, 4 * C * img.dtype.itemsize)
 
-    if padding_mode == "zeros":
-        # masks use the UNCLIPPED tap coords: the zero pad ring covers
-        # taps 1 px outside, the masks cover coords further out
-        def inb(yc, xc):
-            m = ((yc >= 0) & (yc <= H - 1) & (xc >= 0) & (xc <= W - 1))
-            return m[..., None].astype(img.dtype)
+    pre = []
+    for iy, ix in coords:
+        y0 = jnp.floor(iy)
+        x0 = jnp.floor(ix)
+        pre.append((y0.astype(jnp.int32), x0.astype(jnp.int32),
+                    (iy - y0)[..., None].astype(img.dtype),
+                    (ix - x0)[..., None].astype(img.dtype)))
 
-        v00 = v00 * inb(y0i, x0i)
-        v01 = v01 * inb(y0i, x0i + 1)
-        v10 = v10 * inb(y0i + 1, x0i)
-        v11 = v11 * inb(y0i + 1, x0i + 1)
+    outs: list[list[jax.Array]] = [[] for _ in coords]
+    for c0 in range(0, N, chunk):
+        n = min(chunk, N - c0)
+        sl = slice(c0, c0 + n)
+        # aug[n, y, x] = [P[y,x], P[y,x+1], P[y+1,x], P[y+1,x+1]] in padded
+        # coordinates; gathering at (clip(y0)+1, clip(x0)+1) yields all taps
+        pc = p[sl]
+        aug = jnp.concatenate(
+            [pc[:, :-1, :-1], pc[:, :-1, 1:], pc[:, 1:, :-1], pc[:, 1:, 1:]],
+            axis=-1).reshape(n * rows, 4 * C)
+        for w_i, (y0i_f, x0i_f, wy_f, wx_f) in enumerate(pre):
+            y0i, x0i, wy, wx = y0i_f[sl], x0i_f[sl], wy_f[sl], wx_f[sl]
+            gy = jnp.clip(y0i, -1, H - 1) + 1
+            gx = jnp.clip(x0i, -1, W - 1) + 1
+            idx = gy * (W + 1) + gx
+            # one flat gather per chunk: a single gather dimension is
+            # faster than a batched take_along_axis, and the chunked
+            # operand stays on the fast gather path (see _gather_chunk)
+            base = (jnp.arange(n, dtype=jnp.int32)
+                    * rows).reshape(n, *([1] * (idx.ndim - 1)))
+            flat_idx = (idx + base).reshape(-1)
+            v = jnp.take(aug, flat_idx, axis=0,
+                         mode="clip").reshape(*idx.shape, 4 * C)
+            v00, v01 = v[..., :C], v[..., C:2 * C]
+            v10, v11 = v[..., 2 * C:3 * C], v[..., 3 * C:]
 
-    wy = wy[..., None].astype(img.dtype)
-    wx = wx[..., None].astype(img.dtype)
-    top = v00 * (1 - wx) + v01 * wx
-    bot = v10 * (1 - wx) + v11 * wx
-    return top * (1 - wy) + bot * wy
+            if padding_mode == "zeros":
+                # masks use the UNCLIPPED tap coords: the zero pad ring
+                # covers taps 1 px outside, the masks cover coords further
+                def inb(yc, xc):
+                    m = ((yc >= 0) & (yc <= H - 1)
+                         & (xc >= 0) & (xc <= W - 1))
+                    return m[..., None].astype(img.dtype)
+
+                v00 = v00 * inb(y0i, x0i)
+                v01 = v01 * inb(y0i, x0i + 1)
+                v10 = v10 * inb(y0i + 1, x0i)
+                v11 = v11 * inb(y0i + 1, x0i + 1)
+
+            top = v00 * (1 - wx) + v01 * wx
+            bot = v10 * (1 - wx) + v11 * wx
+            outs[w_i].append(top * (1 - wy) + bot * wy)
+
+    return [o[0] if len(o) == 1 else jnp.concatenate(o, axis=0)
+            for o in outs]
 
 
 def sample_bicubic(
@@ -143,24 +190,33 @@ def sample_bicubic(
     # P[r] = img[clip(r - 2)]; base index g = clip(y0) + 1 makes tap jy
     # equal P[g + jy + 1], i.e. slice A_jy = P[jy+1 : jy+1+H+1]
     p = jnp.pad(img, ((0, 0), (2, 2), (2, 2), (0, 0)), mode="edge")
-    taps = [p[:, 1 + jy:1 + jy + H + 1, 1 + jx:1 + jx + W + 1]
-            for jy in range(-1, 3) for jx in range(-1, 3)]
-    aug = jnp.concatenate(taps, axis=-1)
     gy = jnp.clip(y0i, -1, H - 1) + 1
     gx = jnp.clip(x0i, -1, W - 1) + 1
     idx = gy * (W + 1) + gx
-    base = (jnp.arange(N, dtype=jnp.int32)
-            * ((H + 1) * (W + 1))).reshape(N, *([1] * (idx.ndim - 1)))
-    flat_idx = (idx + base).reshape(-1)
-    v = jnp.take(aug.reshape(N * (H + 1) * (W + 1), 16 * C), flat_idx,
-                 axis=0, mode="clip").reshape(*idx.shape, 16 * C)
-    out = 0.0
-    k = 0
-    for jy in range(4):
-        for jx in range(4):
-            out = out + wy[jy] * wx[jx] * v[..., k * C:(k + 1) * C]
-            k += 1
-    return out
+    rows = (H + 1) * (W + 1)
+    chunk = _gather_chunk(N, rows, 16 * C * img.dtype.itemsize)
+    outs = []
+    for c0 in range(0, N, chunk):
+        n = min(chunk, N - c0)
+        sl = slice(c0, c0 + n)
+        pc = p[sl]
+        taps = [pc[:, 1 + jy:1 + jy + H + 1, 1 + jx:1 + jx + W + 1]
+                for jy in range(-1, 3) for jx in range(-1, 3)]
+        aug = jnp.concatenate(taps, axis=-1).reshape(n * rows, 16 * C)
+        base = (jnp.arange(n, dtype=jnp.int32)
+                * rows).reshape(n, *([1] * (idx.ndim - 1)))
+        flat_idx = (idx[sl] + base).reshape(-1)
+        v = jnp.take(aug, flat_idx, axis=0,
+                     mode="clip").reshape(*idx[sl].shape, 16 * C)
+        out = 0.0
+        k = 0
+        for jy in range(4):
+            for jx in range(4):
+                out = out + (wy[jy][sl] * wx[jx][sl]
+                             * v[..., k * C:(k + 1) * C])
+                k += 1
+        outs.append(out)
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
 
 def sample_nearest(
