@@ -64,15 +64,16 @@ def sample_bilinear(
     ``iy``/``ix`` are float pixel coordinates of arbitrary (shared) shape per
     batch element; returns (N, *coord_shape, C).
 
-    TPU note (lane-augmented gather): the four bilinear taps are folded
-    into ONE take_along_axis by pre-concatenating the four 1-pixel-shifted
-    copies of the (1-padded) image along channels, so every sample fetches
-    a single contiguous 4C-lane vector (with C=32 that is exactly 128
-    lanes = one full vreg row). Measured on a v5e chip with forced
-    readback and distinct inputs per call: 0.39 ms per (8,256,256,32)
-    warp vs 18.6 ms for four single-tap gathers — the single wide gather
-    hits XLA's fast path while four (1,C) gathers take the slow generic
-    one. Padding semantics (zeros masks / border clamp, per tap, torch
+    TPU note (lane-augmented chunked gather): the four bilinear taps are
+    folded into ONE take_along_axis by pre-concatenating the four
+    1-pixel-shifted copies of the (1-padded) image along channels, so
+    every sample fetches a single contiguous 4C-lane vector (with C=32
+    that is exactly 128 lanes = one full vreg row) — measured ~2x faster
+    than four single-tap gathers of the same bytes on v5e. The batch is
+    additionally chunked so the aug operand stays on XLA's fast gather
+    path (see ``_gather_chunk``); chunking took a chained
+    (8,256,256,32) warp from 9.9 ms to 2.0-2.3 ms on v5e. Padding
+    semantics (zeros masks / border clamp, per tap, torch
     grid_sample-exact) are preserved via the pad ring + unclipped-coord
     masks.
     """

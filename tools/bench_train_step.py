@@ -31,6 +31,11 @@ def main():
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
         state = init_state(cfg, rng, batch)
         frozen = init_frozen_random(rng, cfg.crop_size)
+    # Move EVERYTHING to the accelerator once, outside the timed loop —
+    # host-resident frozen nets / batch would otherwise re-upload through
+    # the tunnel every step (measured: 99% device idle, 4.1 s/step).
+    dev = jax.devices()[0]
+    state, frozen, batch = jax.device_put((state, frozen, batch), dev)
     step = build_train_step(cfg)
 
     def run(state, batch, frozen, seed):
