@@ -63,6 +63,10 @@ class Module2Config:
     lr_decay_iters: int = 50     # StepLR step_size for lr_policy='step'
     init_type: str = "normal"    # normal | xavier | kaiming | orthogonal
     init_gain: float = 0.02
+    # "bfloat16" runs every network forward/backward in bf16 (f32 master
+    # params + optimizer + losses + TPS solves) — the TPU-native mixed
+    # precision recipe. Default f32 matches the reference numerics.
+    compute_dtype: str = "float32"
     steps_per_epoch: int = 1000
     pool_size: int = 50
     gan_mode: str = "lsgan"
@@ -190,14 +194,17 @@ def _with_edges(lm68: jax.Array) -> jax.Array:
     return jnp.concatenate([lm68, e], axis=1)
 
 
-def flow_warp_fields(flow_vars, lm1, lm2, size: int = 256):
+def flow_warp_fields(flow_vars, lm1, lm2, size: int = 256,
+                     dtype=jnp.float32):
     """flow_network_warp (geomgm_ifw_fore_model.py:69-83) on-device: 68-pt
     landmarks (N,68,2) in crop_size space -> (flow (N,256,256,2),
     mask (N,256,256,1))."""
     j1 = kp_to_map_binary((224, 224), lm1[:, :68] * (7.0 / 8.0))
     j2 = kp_to_map_binary((224, 224), lm2[:, :68] * (7.0 / 8.0))
-    inp = jnp.concatenate([j1, j2], axis=-1)
+    inp = jnp.concatenate([j1, j2], axis=-1).astype(dtype)
     flow_out, vis_out, _, _ = FlowUnet().apply(flow_vars, inp)
+    flow_out = flow_out.astype(jnp.float32)
+    vis_out = vis_out.astype(jnp.float32)
     vis = jnp.argmax(vis_out, axis=-1, keepdims=True)
     mask = (vis < 2).astype(jnp.float32)
     flow = flow_out * 20.0 * mask
@@ -330,8 +337,19 @@ def build_train_step(cfg: Module2Config):
     from animateportrait_tpu.utils.assets import face_lmark_lookup
     lip_edges = face_lmark_lookup()[:20]
 
+    cdt = jnp.dtype(cfg.compute_dtype)
+
+    def _cast(tree):
+        """f32 -> compute dtype (params and activations); no-op for f32."""
+        if cdt == jnp.float32:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(cdt)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
+
     def d_apply(params, x):
-        return d_model.apply({"params": params}, x)
+        return d_model.apply({"params": _cast(params)},
+                             _cast(x)).astype(jnp.float32)
 
     def crit(pred, real):
         return gan_loss(pred, real, cfg.gan_mode)
@@ -339,7 +357,8 @@ def build_train_step(cfg: Module2Config):
     def forward_shared(batch, frozen):
         """Everything upstream of G that carries no G/D gradients."""
         real_A = batch["real_A"]
-        _, _, matte = MODNet().apply(frozen.modnet, real_A)
+        _, _, matte = MODNet().apply(_cast(frozen.modnet), _cast(real_A))
+        matte = matte.astype(jnp.float32)
         mask = (matte > 0.5).astype(jnp.float32)
         real_A_fore = ((real_A / 2 + 0.5) * mask + 1 - mask) * 2 - 1
         if not cfg.blendbg:
@@ -350,11 +369,11 @@ def build_train_step(cfg: Module2Config):
             fakeB_static = batch["fakeB_static"]
 
         iw_flow, if_mask = flow_warp_fields(
-            frozen.flowunet, batch["A_lm_68"], batch["tB_lm_68"],
-            cfg.crop_size)
+            _cast(frozen.flowunet), batch["A_lm_68"], batch["tB_lm_68"],
+            cfg.crop_size, dtype=cdt)
         iw_flow2, if_mask2 = flow_warp_fields(
-            frozen.flowunet, batch["A_lm_68"], batch["tB2_lm_68"],
-            cfg.crop_size)
+            _cast(frozen.flowunet), batch["A_lm_68"], batch["tB2_lm_68"],
+            cfg.crop_size, dtype=cdt)
 
         # control points for the TPS warps: with blendbg the reference sets
         # real_A_lm_681 = the bare 68 landmarks (geomgm_ifw_fore_model.py
@@ -407,14 +426,17 @@ def build_train_step(cfg: Module2Config):
                     fakeB_static_warp=fakeB_static_warp)
 
     def g_forward(g_params, batch, shared):
+        gp = _cast(g_params)
         fake_B = g_model.apply(
-            {"params": g_params}, shared["real_A_fore"], batch["A_lm"],
-            batch["tB_lm"], shared["warp_motion"], shared["iw_flow"],
-            shared["if_mask"])
+            {"params": gp}, _cast(shared["real_A_fore"]),
+            _cast(batch["A_lm"]), _cast(batch["tB_lm"]),
+            _cast(shared["warp_motion"]), _cast(shared["iw_flow"]),
+            _cast(shared["if_mask"])).astype(jnp.float32)
         fake_B2 = g_model.apply(
-            {"params": g_params}, shared["real_A_fore"], batch["A_lm"],
-            batch["tB2_lm"], shared["warp_motion2"], shared["iw_flow2"],
-            shared["if_mask2"])
+            {"params": gp}, _cast(shared["real_A_fore"]),
+            _cast(batch["A_lm"]), _cast(batch["tB2_lm"]),
+            _cast(shared["warp_motion2"]), _cast(shared["iw_flow2"]),
+            _cast(shared["if_mask2"])).astype(jnp.float32)
         if cfg.blendbg:
             fb = shared["fakeB_static"]
             fake_B = ((fake_B / 2 + 0.5) * shared["mask1"]
@@ -456,10 +478,12 @@ def build_train_step(cfg: Module2Config):
             loss += l_coh
 
         # geometry loss via frozen MobileFaceNet
-        fb_lm = extract_landmarks(frozen.mobilefacenet, fake_B,
-                                  batch["winB"], cfg.crop_size)
-        fb2_lm = extract_landmarks(frozen.mobilefacenet, fake_B2,
-                                   batch["winB2"], cfg.crop_size)
+        fb_lm = extract_landmarks(_cast(frozen.mobilefacenet),
+                                  _cast(fake_B), batch["winB"],
+                                  cfg.crop_size).astype(jnp.float32)
+        fb2_lm = extract_landmarks(_cast(frozen.mobilefacenet),
+                                   _cast(fake_B2), batch["winB2"],
+                                   cfg.crop_size).astype(jnp.float32)
         tb = batch["tB_lm_68"][:, :68]
         tb2 = batch["tB2_lm_68"][:, :68]
         if cfg.more_weight_for_lip == 2:
@@ -510,8 +534,9 @@ def build_train_step(cfg: Module2Config):
             s_crop = crop_head_bbox(rep3(shared["fakeB_static"]),
                                     batch["winA"])
             l_iden = face_loss(
-                lambda v, x: Sphere20a().apply(v, x), frozen.sphere,
-                f_crop, s_crop) * cfg.lambda_face
+                lambda v, x: Sphere20a().apply(v, x.astype(cdt)),
+                _cast(frozen.sphere), f_crop,
+                s_crop).astype(jnp.float32) * cfg.lambda_face
             losses["iden_B"] = l_iden
             loss += l_iden
 

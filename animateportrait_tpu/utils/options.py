@@ -87,6 +87,9 @@ def build_train_argparser() -> argparse.ArgumentParser:
     p.add_argument("--select_noniden_thre", type=float, default=0.9)
     p.add_argument("--max_offset", type=float, default=3.0)
     # TPU-native extras
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="mixed-precision train step (f32 master params)")
     p.add_argument("--steps_per_epoch", type=int, default=1000)
     p.add_argument("--data_parallel", type=int, default=0,
                    help="devices in the DP mesh (0 = all)")
@@ -106,6 +109,7 @@ def to_configs(args: argparse.Namespace
         niter=args.niter, niter_decay=args.niter_decay,
         lr_policy=args.lr_policy, lr_decay_iters=args.lr_decay_iters,
         init_type=args.init_type, init_gain=args.init_gain,
+        compute_dtype=args.compute_dtype,
         steps_per_epoch=args.steps_per_epoch,
         pool_size=args.pool_size, gan_mode=args.gan_mode,
         lambda_geom=args.lambda_geom,

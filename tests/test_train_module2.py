@@ -251,3 +251,20 @@ def test_init_weights_modes(init_type):
         m = k.reshape(-1, 128).T  # (O, rest)
         gram = m @ m.T / 0.02 ** 2
         np.testing.assert_allclose(gram, np.eye(128), atol=1e-4)
+
+
+def test_train_step_bf16_compute():
+    """Mixed-precision step: finite losses, f32 master params updated."""
+    import dataclasses
+
+    cfg = dataclasses.replace(_small_cfg(), compute_dtype="bfloat16")
+    state, batch, frozen, step = _setup(cfg)
+    state1, metrics = jax.jit(step)(state, batch, frozen, jax.random.key(1))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    leaf = jax.tree_util.tree_leaves(state1.g_params)[0]
+    assert leaf.dtype == jnp.float32
+    delta = sum(float(jnp.sum(jnp.abs(a - b))) for a, b in zip(
+        jax.tree_util.tree_leaves(state1.g_params),
+        jax.tree_util.tree_leaves(state.g_params)))
+    assert delta > 0.0
