@@ -55,8 +55,15 @@ class DataConfig:
 def _load_img(path, grayscale=False, size=None):
     from PIL import Image
 
-    img = Image.open(path)
-    img = img.convert("L" if grayscale else "RGB")
+    from animateportrait_tpu.utils import native
+
+    arr = native.decode_image(path, grayscale=grayscale)
+    if arr is not None:
+        # native libpng/libjpeg decode (byte-exact with PIL, threaded in
+        # batch(); releases the GIL) — PIL only does the resize
+        img = Image.fromarray(arr)
+    else:
+        img = Image.open(path).convert("L" if grayscale else "RGB")
     if size is not None:
         img = img.resize((size, size), Image.BICUBIC)
     return img
@@ -327,6 +334,23 @@ class UMLVDIFWDataset:
                                           pA["flip"])
         return item
 
-    def batch(self, indices, rng: np.random.Generator) -> dict:
-        items = [self.sample(i, rng) for i in indices]
+    def batch(self, indices, rng: np.random.Generator,
+              num_threads: int = 0) -> dict:
+        """Assemble a batch. num_threads > 1 samples items on a thread
+        pool (the torch-DataLoader-workers equivalent; the native image
+        decode and numpy release the GIL). Per-item RNG streams are
+        seeded from ``rng`` so results are deterministic for a given rng
+        state regardless of thread scheduling (but differ from the
+        sequential shared-stream order)."""
+        if num_threads and num_threads > 1 and len(indices) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            seeds = rng.integers(0, 2 ** 63 - 1, size=len(indices))
+            with ThreadPoolExecutor(max_workers=num_threads) as ex:
+                items = list(ex.map(
+                    lambda iz: self.sample(
+                        iz[0], np.random.default_rng(iz[1])),
+                    zip(indices, seeds)))
+        else:
+            items = [self.sample(i, rng) for i in indices]
         return {k: np.stack([it[k] for it in items]) for k in items[0]}

@@ -116,12 +116,36 @@ def main(argv=None):
     total_epochs = cfg.niter + cfg.niter_decay
     step = int(state.step)
     timer = StepTimer()
+
+    # Background prefetcher (the torch num_threads DataLoader equivalent,
+    # Module2/data/__init__.py:75-79): one producer thread assembles the
+    # next batches — image decode on the native thread pool — and
+    # device_puts them while the previous step computes.
+    import queue
+    import threading
+
+    prefetch_q: "queue.Queue" = queue.Queue(maxsize=2)
+    stop_evt = threading.Event()
+
+    def _producer():
+        while not stop_evt.is_set():
+            idx = np_rng.integers(0, len(ds), size=per_step)
+            b = ds.batch(list(idx), np_rng, num_threads=args.num_threads)
+            b = {k: jax.device_put(jnp.asarray(v), batch_sharding)
+                 for k, v in b.items()}
+            while not stop_evt.is_set():
+                try:
+                    prefetch_q.put(b, timeout=1.0)
+                    break
+                except queue.Full:
+                    pass
+
+    producer = threading.Thread(target=_producer, daemon=True)
+    producer.start()
+
     for epoch in range(step // cfg.steps_per_epoch + 1, total_epochs + 1):
         for _ in range(cfg.steps_per_epoch):
-            idx = np_rng.integers(0, len(ds), size=per_step)
-            batch = ds.batch(list(idx), np_rng)
-            batch = {k: jax.device_put(jnp.asarray(v), batch_sharding)
-                     for k, v in batch.items()}
+            batch = prefetch_q.get()
             timer.data_done()
             state, metrics = step_fn(state, batch, frozen,
                                      jax.random.key(step))
@@ -133,11 +157,13 @@ def main(argv=None):
             else:
                 timer.step_done()
             if args.max_steps and step >= args.max_steps:
+                stop_evt.set()
                 ckpt.save(step, jax.device_get(state))
                 print(f"[train] stopped at max_steps={args.max_steps}")
                 return
         ckpt.save(step, jax.device_get(state))
         print(f"[train] epoch {epoch} done (step {step})")
+    stop_evt.set()
 
 
 if __name__ == "__main__":

@@ -39,6 +39,18 @@ def _lib():
     lib.float_to_pcm16.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int,
         ctypes.POINTER(ctypes.c_int16)]
+    if hasattr(lib, "decode_image"):
+        lib.image_size.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int)]
+        lib.decode_image.argtypes = [
+            ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int]
+        lib.decode_images.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int)]
     return lib
 
 
@@ -90,6 +102,31 @@ def assemble_batch(imgs: list[np.ndarray], crop_xy: np.ndarray,
         crop, scale, offset,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return out
+
+
+def decode_image(path: str, grayscale: bool = False) -> np.ndarray | None:
+    """Decode a PNG/JPEG file with the native (libpng/libjpeg) decoder.
+
+    Returns uint8 (H, W, 3) RGB or (H, W) grayscale — byte-exact with
+    ``PIL.Image.open().convert("RGB"|"L")`` (grayscale uses PIL's ITU-R
+    601-2 integer formula) — or None when the native library is absent or
+    the file isn't a PNG/JPEG (caller falls back to PIL).
+    """
+    lib = _lib()
+    if lib is None or not hasattr(lib, "decode_image"):
+        return None
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    p = path.encode()
+    if lib.image_size(p, ctypes.byref(h), ctypes.byref(w)) != 0:
+        return None
+    shape = (h.value, w.value) if grayscale else (h.value, w.value, 3)
+    out = np.empty(shape, np.uint8)
+    rc = lib.decode_image(
+        p, 1 if grayscale else 3,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h.value, w.value)
+    return out if rc == 0 else None
 
 
 def float_to_pcm16(x: np.ndarray) -> np.ndarray:

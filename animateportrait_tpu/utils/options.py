@@ -47,6 +47,8 @@ def build_train_argparser() -> argparse.ArgumentParser:
     p.add_argument("--netg_resb_div", type=int, default=3)
     p.add_argument("--netg_resb_disp", type=int, default=1)
     p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--num_threads", type=int, default=4,
+                   help="data-loader worker threads (base_options.py)")
     p.add_argument("--phase", default="train")
     p.add_argument("--display_env", default="main")  # accepted, unused
     p.add_argument("--gpu_ids", default="0")         # accepted, unused

@@ -10,10 +10,81 @@
 // Build: make -C native   (g++ -O3 -shared -fPIC, no external deps)
 // Python binding: ctypes (animateportrait_tpu/utils/native.py).
 
+#include <csetjmp>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
+
+#include <jpeglib.h>
+#include <png.h>
+
+namespace {
+
+uint8_t* decode_png_rgb_impl(const char* path, int* h, int* w) {
+  png_image image;
+  memset(&image, 0, sizeof(image));
+  image.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_file(&image, path)) return nullptr;
+  image.format = PNG_FORMAT_RGB;
+  uint8_t* buf = static_cast<uint8_t*>(malloc(PNG_IMAGE_SIZE(image)));
+  if (!buf) { png_image_free(&image); return nullptr; }
+  if (!png_image_finish_read(&image, nullptr, buf, 0, nullptr)) {
+    free(buf);
+    png_image_free(&image);
+    return nullptr;
+  }
+  *h = static_cast<int>(image.height);
+  *w = static_cast<int>(image.width);
+  return buf;
+}
+
+struct JpegErr {
+  jpeg_error_mgr pub;
+  jmp_buf jb;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  JpegErr* e = reinterpret_cast<JpegErr*>(cinfo->err);
+  longjmp(e->jb, 1);
+}
+
+uint8_t* decode_jpeg_rgb_impl(const char* path, int* h, int* w) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_err_exit;
+  uint8_t* buf = nullptr;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    free(buf);
+    return nullptr;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  *w = static_cast<int>(cinfo.output_width);
+  *h = static_cast<int>(cinfo.output_height);
+  const size_t stride = static_cast<size_t>(*w) * 3;
+  buf = static_cast<uint8_t*>(malloc(stride * *h));
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = buf + stride * cinfo.output_scanline;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+  return buf;
+}
+
+}  // namespace
 
 extern "C" {
 
@@ -60,6 +131,81 @@ void assemble_batch(const uint8_t** imgs, int n, int in_h, int in_w,
   for (int i = 0; i < n; ++i) threads.emplace_back(work, i);
   for (auto& t : threads) t.join();
 }
+
+// --- image decode (libpng / libjpeg), the data-loader's hot loop --------
+//
+// Decodes a PNG or JPEG file (detected by magic bytes) to uint8 HWC.
+// channels_req 3 = RGB; 1 = grayscale using PIL's ITU-R 601-2 integer
+// formula ((r*19595 + g*38470 + b*7471 + 0x8000) >> 16) so outputs are
+// byte-exact with `PIL.Image.convert("L")`. PNG decode is lossless and
+// byte-exact with PIL for RGB/gray/palette/alpha inputs (alpha handled
+// like PIL convert: composite ignored, raw RGB channels kept).
+
+// Returns a malloc'd RGB buffer (caller frees via decode_free), or null.
+static uint8_t* decode_rgb(const char* path, int* h, int* w) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  unsigned char magic[2] = {0, 0};
+  size_t got = fread(magic, 1, 2, f);
+  fclose(f);
+  if (got != 2) return nullptr;
+  if (magic[0] == 0x89 && magic[1] == 'P')
+    return decode_png_rgb_impl(path, h, w);
+  if (magic[0] == 0xFF && magic[1] == 0xD8)
+    return decode_jpeg_rgb_impl(path, h, w);
+  return nullptr;
+}
+
+// Two-call API for ctypes: first query dims, then decode into caller buf.
+// decode_image returns 0 on success.
+int image_size(const char* path, int* h, int* w) {
+  uint8_t* p = decode_rgb(path, h, w);
+  if (!p) return -1;
+  free(p);
+  return 0;
+}
+
+int decode_image(const char* path, int channels_req, uint8_t* out,
+                 int out_h, int out_w) {
+  int h = 0, w = 0;
+  uint8_t* rgb = decode_rgb(path, &h, &w);
+  if (!rgb) return -1;
+  if (h != out_h || w != out_w) { free(rgb); return -2; }
+  const size_t n = static_cast<size_t>(h) * w;
+  if (channels_req == 3) {
+    memcpy(out, rgb, n * 3);
+  } else {
+    for (size_t i = 0; i < n; ++i) {
+      const uint8_t* px = rgb + i * 3;
+      out[i] = static_cast<uint8_t>(
+          (px[0] * 19595u + px[1] * 38470u + px[2] * 7471u + 0x8000u) >> 16);
+    }
+  }
+  free(rgb);
+  return 0;
+}
+
+// Batched threaded decode: one worker per file (the PNG inflate is the
+// data loader's dominant CPU cost; this is the DataLoader-workers
+// equivalent). status[i] = 0 on success.
+void decode_images(const char** paths, int n, const int* channels_req,
+                   uint8_t** outs, const int* out_h, const int* out_w,
+                   int* status) {
+  auto work = [&](int i) {
+    status[i] = decode_image(paths[i], channels_req[i], outs[i], out_h[i],
+                             out_w[i]);
+  };
+  if (n <= 1) {
+    for (int i = 0; i < n; ++i) work(i);
+    return;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve(n);
+  for (int i = 0; i < n; ++i) threads.emplace_back(work, i);
+  for (auto& t : threads) t.join();
+}
+
+void decode_free(uint8_t* p) { free(p); }
 
 // float [-1,1] mono -> int16 PCM with clipping.
 void float_to_pcm16(const float* x, int n, int16_t* out) {

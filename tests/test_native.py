@@ -43,3 +43,34 @@ def test_native_lib_available():
 
     # the shared library should be built in this repo
     assert native.available(), "run `make -C native`"
+
+
+def test_native_decode_image_matches_pil():
+    import numpy as np
+    import pytest
+    from PIL import Image
+
+    from animateportrait_tpu.utils import native
+
+    if not native.available() or native.decode_image("/nonexistent") is not None:
+        pytest.skip("native decode unavailable")
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, (41, 33, 3), dtype=np.uint8)
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    png = os.path.join(d, "t.png")
+    jpg = os.path.join(d, "t.jpg")
+    Image.fromarray(arr).save(png)
+    Image.fromarray(arr).save(jpg, quality=90)
+    out = native.decode_image(png)
+    assert out is not None and np.array_equal(out, arr)
+    outg = native.decode_image(png, grayscale=True)
+    assert np.array_equal(outg, np.asarray(Image.fromarray(arr).convert("L")))
+    outj = native.decode_image(jpg)
+    pil_j = np.asarray(Image.open(jpg).convert("RGB"))
+    assert np.abs(outj.astype(int) - pil_j.astype(int)).max() <= 1
+    # grayscale png path (single channel source)
+    gpng = os.path.join(d, "g.png")
+    Image.fromarray(arr[..., 0]).save(gpng)
+    outg2 = native.decode_image(gpng, grayscale=True)
+    assert np.array_equal(outg2, arr[..., 0])
