@@ -345,12 +345,17 @@ class UMLVDIFWDataset:
         if num_threads and num_threads > 1 and len(indices) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
+            if getattr(self, "_pool", None) is None or \
+                    self._pool_size != num_threads:
+                if getattr(self, "_pool", None) is not None:
+                    self._pool.shutdown(wait=False)
+                self._pool = ThreadPoolExecutor(max_workers=num_threads)
+                self._pool_size = num_threads
             seeds = rng.integers(0, 2 ** 63 - 1, size=len(indices))
-            with ThreadPoolExecutor(max_workers=num_threads) as ex:
-                items = list(ex.map(
-                    lambda iz: self.sample(
-                        iz[0], np.random.default_rng(iz[1])),
-                    zip(indices, seeds)))
+            items = list(self._pool.map(
+                lambda iz: self.sample(
+                    iz[0], np.random.default_rng(iz[1])),
+                zip(indices, seeds)))
         else:
             items = [self.sample(i, rng) for i in indices]
         return {k: np.stack([it[k] for it in items]) for k in items[0]}

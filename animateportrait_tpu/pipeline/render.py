@@ -246,8 +246,16 @@ class Module2Renderer:
                 *prep, a_lm_img, a68,
                 jnp.asarray(tb_imgs[j: j + fb], jnp.float32), lm_batch,
                 motions)
-            outs.append(np.asarray(out))
+            # keep the device array and start its host copy in the
+            # background — a synchronous np.asarray here would stall the
+            # dispatch pipeline on every batch (compute, then transfer,
+            # then idle device while the host prepares the next batch)
+            try:
+                out.copy_to_host_async()
+            except AttributeError:
+                pass
+            outs.append(out)
             if progress is not None:
                 progress(min(j + fb, T), T)
-        frames = np.concatenate(outs, axis=0)[:T]
+        frames = np.concatenate([np.asarray(o) for o in outs], axis=0)[:T]
         return frames

@@ -126,26 +126,42 @@ def main(argv=None):
 
     prefetch_q: "queue.Queue" = queue.Queue(maxsize=2)
     stop_evt = threading.Event()
+    producer_exc: list[BaseException] = []
 
     def _producer():
-        while not stop_evt.is_set():
-            idx = np_rng.integers(0, len(ds), size=per_step)
-            b = ds.batch(list(idx), np_rng, num_threads=args.num_threads)
-            b = {k: jax.device_put(jnp.asarray(v), batch_sharding)
-                 for k, v in b.items()}
+        try:
             while not stop_evt.is_set():
-                try:
-                    prefetch_q.put(b, timeout=1.0)
-                    break
-                except queue.Full:
-                    pass
+                idx = np_rng.integers(0, len(ds), size=per_step)
+                b = ds.batch(list(idx), np_rng,
+                             num_threads=args.num_threads)
+                b = {k: jax.device_put(jnp.asarray(v), batch_sharding)
+                     for k, v in b.items()}
+                while not stop_evt.is_set():
+                    try:
+                        prefetch_q.put(b, timeout=1.0)
+                        break
+                    except queue.Full:
+                        pass
+        except BaseException as e:  # surface data errors in the main loop
+            producer_exc.append(e)
 
     producer = threading.Thread(target=_producer, daemon=True)
     producer.start()
 
+    def next_batch():
+        while True:
+            try:
+                return prefetch_q.get(timeout=5.0)
+            except queue.Empty:
+                if producer_exc:
+                    raise RuntimeError(
+                        "data loader thread failed") from producer_exc[0]
+                if not producer.is_alive():
+                    raise RuntimeError("data loader thread exited")
+
     for epoch in range(step // cfg.steps_per_epoch + 1, total_epochs + 1):
         for _ in range(cfg.steps_per_epoch):
-            batch = prefetch_q.get()
+            batch = next_batch()
             timer.data_done()
             state, metrics = step_fn(state, batch, frozen,
                                      jax.random.key(step))

@@ -46,11 +46,6 @@ def _lib():
         lib.decode_image.argtypes = [
             ctypes.c_char_p, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int]
-        lib.decode_images.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
-            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_void_p),
-            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int)]
     return lib
 
 

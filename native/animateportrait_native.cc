@@ -28,17 +28,36 @@ uint8_t* decode_png_rgb_impl(const char* path, int* h, int* w) {
   memset(&image, 0, sizeof(image));
   image.version = PNG_IMAGE_VERSION;
   if (!png_image_begin_read_from_file(&image, path)) return nullptr;
-  image.format = PNG_FORMAT_RGB;
-  uint8_t* buf = static_cast<uint8_t*>(malloc(PNG_IMAGE_SIZE(image)));
-  if (!buf) { png_image_free(&image); return nullptr; }
-  if (!png_image_finish_read(&image, nullptr, buf, 0, nullptr)) {
-    free(buf);
+  // 16-bit files (FLAG_LINEAR) scale differently from PIL — defer to the
+  // PIL fallback rather than silently diverge from the documented
+  // byte-exact contract.
+  if (image.format & PNG_FORMAT_FLAG_LINEAR) {
+    png_image_free(&image);
+    return nullptr;
+  }
+  // Decode as RGBA and drop alpha ourselves: PIL's convert("RGB") drops
+  // the alpha channel, while libpng's RGB format would composite it
+  // (against an uninitialized buffer when background is null).
+  image.format = PNG_FORMAT_RGBA;
+  uint8_t* rgba = static_cast<uint8_t*>(malloc(PNG_IMAGE_SIZE(image)));
+  if (!rgba) { png_image_free(&image); return nullptr; }
+  if (!png_image_finish_read(&image, nullptr, rgba, 0, nullptr)) {
+    free(rgba);
     png_image_free(&image);
     return nullptr;
   }
   *h = static_cast<int>(image.height);
   *w = static_cast<int>(image.width);
-  return buf;
+  const size_t n = static_cast<size_t>(*h) * *w;
+  uint8_t* rgb = static_cast<uint8_t*>(malloc(n * 3));
+  if (!rgb) { free(rgba); return nullptr; }
+  for (size_t i = 0; i < n; ++i) {
+    rgb[i * 3 + 0] = rgba[i * 4 + 0];
+    rgb[i * 3 + 1] = rgba[i * 4 + 1];
+    rgb[i * 3 + 2] = rgba[i * 4 + 2];
+  }
+  free(rgba);
+  return rgb;
 }
 
 struct JpegErr {
@@ -74,6 +93,11 @@ uint8_t* decode_jpeg_rgb_impl(const char* path, int* h, int* w) {
   *h = static_cast<int>(cinfo.output_height);
   const size_t stride = static_cast<size_t>(*w) * 3;
   buf = static_cast<uint8_t*>(malloc(stride * *h));
+  if (!buf) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return nullptr;
+  }
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* row = buf + stride * cinfo.output_scanline;
     jpeg_read_scanlines(&cinfo, &row, 1);
@@ -156,13 +180,49 @@ static uint8_t* decode_rgb(const char* path, int* h, int* w) {
   return nullptr;
 }
 
-// Two-call API for ctypes: first query dims, then decode into caller buf.
+// Two-call API for ctypes: first query dims (header parse only — no
+// pixel decode), then decode into a caller-allocated buffer.
 // decode_image returns 0 on success.
 int image_size(const char* path, int* h, int* w) {
-  uint8_t* p = decode_rgb(path, h, w);
-  if (!p) return -1;
-  free(p);
-  return 0;
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  unsigned char magic[2] = {0, 0};
+  size_t got = fread(magic, 1, 2, f);
+  if (got != 2) { fclose(f); return -1; }
+  if (magic[0] == 0x89 && magic[1] == 'P') {
+    fclose(f);
+    png_image image;
+    memset(&image, 0, sizeof(image));
+    image.version = PNG_IMAGE_VERSION;
+    if (!png_image_begin_read_from_file(&image, path)) return -1;
+    int rc = (image.format & PNG_FORMAT_FLAG_LINEAR) ? -1 : 0;  // 16-bit
+    *h = static_cast<int>(image.height);
+    *w = static_cast<int>(image.width);
+    png_image_free(&image);
+    return rc;
+  }
+  if (magic[0] == 0xFF && magic[1] == 0xD8) {
+    rewind(f);
+    jpeg_decompress_struct cinfo;
+    JpegErr jerr;
+    cinfo.err = jpeg_std_error(&jerr.pub);
+    jerr.pub.error_exit = jpeg_err_exit;
+    if (setjmp(jerr.jb)) {
+      jpeg_destroy_decompress(&cinfo);
+      fclose(f);
+      return -1;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_stdio_src(&cinfo, f);
+    jpeg_read_header(&cinfo, TRUE);
+    *w = static_cast<int>(cinfo.image_width);
+    *h = static_cast<int>(cinfo.image_height);
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return 0;
+  }
+  fclose(f);
+  return -1;
 }
 
 int decode_image(const char* path, int channels_req, uint8_t* out,
@@ -185,27 +245,9 @@ int decode_image(const char* path, int channels_req, uint8_t* out,
   return 0;
 }
 
-// Batched threaded decode: one worker per file (the PNG inflate is the
-// data loader's dominant CPU cost; this is the DataLoader-workers
-// equivalent). status[i] = 0 on success.
-void decode_images(const char** paths, int n, const int* channels_req,
-                   uint8_t** outs, const int* out_h, const int* out_w,
-                   int* status) {
-  auto work = [&](int i) {
-    status[i] = decode_image(paths[i], channels_req[i], outs[i], out_h[i],
-                             out_w[i]);
-  };
-  if (n <= 1) {
-    for (int i = 0; i < n; ++i) work(i);
-    return;
-  }
-  std::vector<std::thread> threads;
-  threads.reserve(n);
-  for (int i = 0; i < n; ++i) threads.emplace_back(work, i);
-  for (auto& t : threads) t.join();
-}
-
-void decode_free(uint8_t* p) { free(p); }
+// (Batch-level threading lives on the Python side: the dataset's
+// ThreadPoolExecutor parallelizes whole items, and decode_image releases
+// the GIL for the duration of the C call.)
 
 // float [-1,1] mono -> int16 PCM with clipping.
 void float_to_pcm16(const float* x, int n, int16_t* out) {

