@@ -17,6 +17,12 @@ import sys
 
 import numpy as np
 
+# Persistent XLA compile cache: repeated CLI runs skip the (substantial)
+# jit compiles of the audio/landmark/render programs. User-overridable.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/animateportrait_jax"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("animateportrait")
@@ -182,7 +188,8 @@ def build_pipeline(args):
         RendererVariables(generator=gen_v, flowunet=flow_v,
                           modnet=modnet_v, static_drawing=static_v,
                           photo2cartoon=cartoon_v),
-        style=style, output_nc=nc, frame_batch=args.frame_batch)
+        style=style, output_nc=nc, frame_batch=args.frame_batch,
+        output_uint8=True)
 
     return TalkingPortraitPipeline(detector, predictor, audio, renderer)
 

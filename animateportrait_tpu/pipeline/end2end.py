@@ -39,7 +39,7 @@ FPS = 62.5  # 16000 Hz / 256-sample hop (main_end2end_module2.py:306,342)
 
 @dataclasses.dataclass
 class PipelineOutputs:
-    frames: np.ndarray          # (T, 256, 256, nc) in [-1, 1]
+    frames: np.ndarray          # (T, 256, 256, nc): [-1,1] f32 or uint8
     landmarks: np.ndarray       # (T, 68, 3) in aligned-512 space
     aligned_photo: np.ndarray   # (512, 512, 3) BGR uint8
     fps: float = FPS

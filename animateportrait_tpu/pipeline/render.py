@@ -114,7 +114,7 @@ class Module2Renderer:
                  modnet: MODNet | None = None,
                  static_g: ResnetStyle2Generator | None = None,
                  cartoon_g: Photo2CartoonGenerator | None = None,
-                 use_bf16: bool = False):
+                 use_bf16: bool = False, output_uint8: bool = False):
         if use_bf16:
             # cast the per-frame nets (trident generator + intrinsic-flow
             # Unet params — flow dominates the per-frame FLOPs) to
@@ -145,6 +145,7 @@ class Module2Renderer:
         self.cartoon_g = cartoon_g or Photo2CartoonGenerator()
         self.crop_size = crop_size
         self.frame_batch = frame_batch
+        self.output_uint8 = output_uint8
         self._prep_jit = jax.jit(self._prepare)
         self._frames_jit = jax.jit(self._frames)
 
@@ -177,6 +178,10 @@ class Module2Renderer:
                 tb_lm_imgs, tb_lm68s, motions):
         B = tb_lm68s.shape[0]
         cs = self.crop_size
+        if tb_lm_imgs.dtype == jnp.uint8:
+            # landmark images cross host->device as uint8 (4x less
+            # transfer); same (v/255)*2-1 mapping as draw_landmarks
+            tb_lm_imgs = tb_lm_imgs.astype(jnp.float32) / 255.0 * 2 - 1
 
         def flow_for(lm2):
             j1 = kp_to_map_binary((224, 224), a_lm68[0] * (7.0 / 8.0))
@@ -215,6 +220,10 @@ class Module2Renderer:
                                     (B,) + fake_static.shape[1:])
         out = ((fake_b / 2 + 0.5) * mask1
                + (static_b / 2 + 0.5) * (1 - mask1)) * 2 - 1
+        if self.output_uint8:
+            # on-device frames_to_uint8 (utils/video.py:17-22, same f32
+            # math + truncating cast) — 4x less host-transfer traffic
+            out = jnp.clip((out + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
         return out
 
     def __call__(self, photo: np.ndarray, a_lm68: np.ndarray,
@@ -222,7 +231,8 @@ class Module2Renderer:
                  progress: Callable[[int, int], None] | None = None
                  ) -> np.ndarray:
         """photo (256,256,3) [-1,1]; a_lm68 (68,2); tb_lm68s (T,68,2)
-        -> frames (T,256,256,nc) in [-1,1]."""
+        -> frames (T,256,256,nc) in [-1,1] float32 (or uint8 RGB/gray
+        when constructed with output_uint8=True)."""
         cs = self.crop_size
         photo = jnp.asarray(photo, jnp.float32)[None]
         a68 = jnp.asarray(a_lm68, jnp.float32)[None]
@@ -238,13 +248,17 @@ class Module2Renderer:
             [tb_lm68s, np.repeat(tb_lm68s[-1:], pad, 0)], 0) if pad else (
             np.asarray(tb_lm68s))
         tb_imgs = np.stack([draw_landmarks(cs, cs, lm) for lm in tb68_p])
+        # ship landmark rasters as uint8 (exact: they're (v/255)*2-1 of
+        # a uint8 buffer); _frames converts on device
+        tb_imgs_u8 = np.clip(np.rint((tb_imgs + 1.0) * 127.5), 0,
+                             255).astype(np.uint8)
         for j in range(0, tb68_p.shape[0], fb):
             lm_batch = jnp.asarray(tb68_p[j: j + fb], jnp.float32)
             motions = motion_grid_from_landmarks(
                 jnp.broadcast_to(a68, lm_batch.shape), lm_batch, cs)
             out = self._frames_jit(
                 *prep, a_lm_img, a68,
-                jnp.asarray(tb_imgs[j: j + fb], jnp.float32), lm_batch,
+                jnp.asarray(tb_imgs_u8[j: j + fb]), lm_batch,
                 motions)
             # keep the device array and start its host copy in the
             # background — a synchronous np.asarray here would stall the

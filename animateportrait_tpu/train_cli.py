@@ -18,6 +18,12 @@ import sys
 
 import numpy as np
 
+# Persistent XLA compile cache: repeated CLI runs skip the (substantial)
+# jit compiles of the audio/landmark/render programs. User-overridable.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/animateportrait_jax"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 
 def main(argv=None):
     from animateportrait_tpu.utils.options import (
