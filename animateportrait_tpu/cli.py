@@ -50,7 +50,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--amp_lip_y", type=float, default=2.0)
     p.add_argument("--amp_pos", type=float, default=0.5)
     p.add_argument("--gender", default="F", choices=["M", "F"])
-    p.add_argument("--frame_batch", type=int, default=8)
+    p.add_argument("--frame_batch", type=int, default=32,
+                   help="frames per render dispatch (amortizes per-call "
+                        "overhead; 8 matches the old default")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -226,6 +228,8 @@ def _split_video(video_path: str, audio_path: str | None):
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    from animateportrait_tpu.utils.observe import enable_compile_cache
+    enable_compile_cache()
     import cv2
 
     from animateportrait_tpu.pipeline.audio import load_wav

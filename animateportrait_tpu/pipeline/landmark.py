@@ -149,22 +149,26 @@ class LandmarkPredictor:
         self.emb_coef = emb_coef
         self._G = Audio2landmarkPos()
         self._C = Audio2landmarkContent()
+        # weights are jit ARGUMENTS, not closure constants — inlined
+        # weights bloat the program with hundreds of MB of literals and
+        # defeat compile caching (a fresh multi-minute compile per process)
         self._segment_jit = jax.jit(
             self._segment, static_argnames=("smooth_win",))
 
-    def _segment(self, aus, embs, face_id, smooth_win=31):
+    def _segment(self, pos_v, content_v, aus, embs, face_id,
+                 smooth_win=31):
         """One <=512-frame segment: everything on device."""
         T = aus.shape[0]
         z = jnp.zeros((T, 128), jnp.float32)
         fl_dis, _, _ = self._G.apply(
-            self.pos_variables, aus, embs * self.emb_coef, face_id, z)
+            pos_v, aus, embs * self.emb_coef, face_id, z)
         smooth_len = min(T - 1, smooth_win) // 2 * 2 + 1
         fl_dis = savgol_filter(fl_dis, smooth_len, 3, axis=0)
         fl_dis = close_mouth_blend(fl_dis.reshape(-1, 68, 3)).reshape(-1, 204)
         fl_dis = fl_dis * self.amp_pos
 
         baseline, _ = self._C.apply(
-            self.content_variables, aus[:, 0:NUM_WINDOW_FRAMES, :], face_id)
+            content_v, aus[:, 0:NUM_WINDOW_FRAMES, :], face_id)
         baseline = calibrate_content(
             baseline, self.amp_lip_x, self.amp_lip_y)
         fl = fl_dis + baseline + face_id[0:1]
@@ -192,6 +196,7 @@ class LandmarkPredictor:
             if seg.shape[0] < 10:
                 continue
             outs.append(self._segment_jit(
+                self.pos_variables, self.content_variables,
                 seg, emb_t[j: j + SEG_BS], face_id))
         fl = jnp.concatenate(outs, axis=0)
         fl = revise_nose_top(fl)

@@ -146,14 +146,23 @@ class Module2Renderer:
         self.crop_size = crop_size
         self.frame_batch = frame_batch
         self.output_uint8 = output_uint8
+        # checkpoint variables enter the jits as ARGUMENTS — closing
+        # over them inlines hundreds of MB of weight literals into the
+        # program, which makes XLA compiles take minutes and defeats any
+        # compile caching across processes
+        self._prep_nets = {"modnet": self.v.modnet,
+                           "static_drawing": self.v.static_drawing,
+                           "photo2cartoon": self.v.photo2cartoon}
+        self._frame_nets = {"generator": self.v.generator,
+                            "flowunet": self.v.flowunet}
         self._prep_jit = jax.jit(self._prepare)
         self._frames_jit = jax.jit(self._frames)
 
     # --- once per photo ---
-    def _prepare(self, photo):
+    def _prepare(self, nets, photo):
         """photo (1,256,256,3) in [-1,1] -> (masked photo, matte,
         fakeB_static)."""
-        _, _, matte = self.modnet.apply(self.v.modnet, photo)
+        _, _, matte = self.modnet.apply(nets["modnet"], photo)
         mask = (matte > 0.5).astype(jnp.float32)
         if self.style == "drawing":
             photo_512 = interpolate_bilinear(photo, (512, 512),
@@ -162,22 +171,26 @@ class Module2Renderer:
                 jnp.asarray([0.0, 1.0, 0.0])[None, None, None, :],
                 (1, 128, 128, 1))
             static_512 = self.static_g.apply(
-                self.v.static_drawing, photo_512, style_map)
+                nets["static_drawing"], photo_512, style_map)
             fake_static = interpolate_bilinear(
                 static_512, (self.crop_size, self.crop_size),
                 align_corners=False)
         else:
             cartoon, _, _ = self.cartoon_g.apply(
-                self.v.photo2cartoon, photo)
+                nets["photo2cartoon"], photo)
             fake_static = cartoon
         photo_fore = ((photo / 2 + 0.5) * mask + 1 - mask) * 2 - 1
         return photo_fore, mask, fake_static
 
     # --- per frame batch ---
-    def _frames(self, photo_fore, mask, fake_static, a_lm_img, a_lm68,
-                tb_lm_imgs, tb_lm68s, motions):
+    def _frames(self, nets, photo_fore, mask, fake_static, a_lm_img,
+                a_lm68, tb_lm_imgs, tb_lm68s):
         B = tb_lm68s.shape[0]
         cs = self.crop_size
+        # TPS motion grids computed in the same program — a separate
+        # dispatch per batch costs a full tunnel round trip
+        motions = motion_grid_from_landmarks(
+            jnp.broadcast_to(a_lm68, tb_lm68s.shape), tb_lm68s, cs)
         if tb_lm_imgs.dtype == jnp.uint8:
             # landmark images cross host->device as uint8 (4x less
             # transfer); same (v/255)*2-1 mapping as draw_landmarks
@@ -190,7 +203,7 @@ class Module2Renderer:
             if self.use_bf16:
                 inp = inp.astype(jnp.bfloat16)
             flow_out, vis_out, _, _ = self.flowunet.apply(
-                self.v.flowunet, inp)
+                nets["flowunet"], inp)
             vis = jnp.argmax(vis_out, axis=-1, keepdims=True)
             m = (vis < 2).astype(jnp.float32)
             flow = flow_out * 20.0 * m
@@ -207,11 +220,11 @@ class Module2Renderer:
         if self.use_bf16:
             cast = lambda x: x.astype(jnp.bfloat16)  # noqa: E731
             fake_b = self.g.apply(
-                self.v.generator, cast(photo_b), cast(a_lm_b),
+                nets["generator"], cast(photo_b), cast(a_lm_b),
                 cast(tb_lm_imgs), cast(motions), cast(flows),
                 cast(fmasks)).astype(jnp.float32)
         else:
-            fake_b = self.g.apply(self.v.generator, photo_b, a_lm_b,
+            fake_b = self.g.apply(nets["generator"], photo_b, a_lm_b,
                                   tb_lm_imgs, motions, flows, fmasks)
         mask1 = grid_sample(
             jnp.broadcast_to(mask, (B,) + mask.shape[1:]), motions,
@@ -236,7 +249,7 @@ class Module2Renderer:
         cs = self.crop_size
         photo = jnp.asarray(photo, jnp.float32)[None]
         a68 = jnp.asarray(a_lm68, jnp.float32)[None]
-        prep = self._prep_jit(photo)
+        prep = self._prep_jit(self._prep_nets, photo)
 
         a_lm_img = jnp.asarray(
             draw_landmarks(cs, cs, np.asarray(a_lm68)), jnp.float32)[None]
@@ -254,12 +267,9 @@ class Module2Renderer:
                              255).astype(np.uint8)
         for j in range(0, tb68_p.shape[0], fb):
             lm_batch = jnp.asarray(tb68_p[j: j + fb], jnp.float32)
-            motions = motion_grid_from_landmarks(
-                jnp.broadcast_to(a68, lm_batch.shape), lm_batch, cs)
             out = self._frames_jit(
-                *prep, a_lm_img, a68,
-                jnp.asarray(tb_imgs_u8[j: j + fb]), lm_batch,
-                motions)
+                self._frame_nets, *prep, a_lm_img, a68,
+                jnp.asarray(tb_imgs_u8[j: j + fb]), lm_batch)
             # keep the device array and start its host copy in the
             # background — a synchronous np.asarray here would stall the
             # dispatch pipeline on every batch (compute, then transfer,

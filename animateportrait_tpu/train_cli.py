@@ -39,6 +39,9 @@ def main(argv=None):
     cfg, data_cfg = to_configs(args)
 
     import jax
+
+    from animateportrait_tpu.utils.observe import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

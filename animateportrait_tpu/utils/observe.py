@@ -153,3 +153,26 @@ class Record:
             self.max_min_data = self.data[t]
             return True
         return False
+
+
+def enable_compile_cache(path: str | None = None) -> None:
+    """Turn on JAX's persistent compilation cache (idempotent).
+
+    The JAX_COMPILATION_CACHE_DIR env var is not read by this JAX
+    version's config, so setting it has no effect — the cache must be
+    enabled via jax.config.update. Verified working through the axon
+    remote-compile backend."""
+    import os
+
+    import jax
+
+    if jax.config.jax_compilation_cache_dir:
+        return
+    path = path or os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/animateportrait_jax"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the knobs: run uncached

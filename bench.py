@@ -32,6 +32,9 @@ STEPS = int(os.environ.get("BENCH_STEPS", "32"))
 def bench_jax() -> float:
     import jax
     import jax.numpy as jnp
+
+    from animateportrait_tpu.utils.observe import enable_compile_cache
+    enable_compile_cache(os.environ.get("JAX_COMPILATION_CACHE_DIR"))
     from animateportrait_tpu.models.gan import TridentGeneratorFullIFW
 
     model = TridentGeneratorFullIFW(output_nc=1, ngf=64, n_blocks=9,

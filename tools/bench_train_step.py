@@ -15,6 +15,10 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import jax
 import jax.numpy as jnp
 
+from animateportrait_tpu.utils.observe import enable_compile_cache
+
+enable_compile_cache(os.environ.get("JAX_COMPILATION_CACHE_DIR"))
+
 from animateportrait_tpu.train.module2 import (
     Module2Config, build_train_step, init_frozen_random, init_state,
     make_example_batch)
