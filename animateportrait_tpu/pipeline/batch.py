@@ -58,9 +58,10 @@ class BatchedLandmarkPredictor:
 
     def _group_fn(self):
         if "seg" not in self._vmapped:
-            self._vmapped["seg"] = jax.jit(
-                jax.vmap(self.p._segment, in_axes=(0, 0, 0)),
-                static_argnames=())
+            # weights enter as (unbatched) jit args, same as the
+            # single-item predictor
+            self._vmapped["seg"] = jax.jit(jax.vmap(
+                self.p._segment, in_axes=(None, None, 0, 0, 0)))
         return self._vmapped["seg"]
 
     def __call__(self, windows_list, embs, face_ids) -> list[np.ndarray]:
@@ -93,7 +94,9 @@ class BatchedLandmarkPredictor:
                 fids = jnp.asarray(np.stack(
                     [np.asarray(face_ids[i]).reshape(1, 204)
                      for i in idxs]), jnp.float32)
-                seg_out = seg_fn(aus, embs_b, fids)
+                seg_out = seg_fn(self.p.pos_variables,
+                                 self.p.content_variables,
+                                 aus, embs_b, fids)
                 for k in range(len(idxs)):
                     outs_per_audio[k].append(np.asarray(seg_out[k]))
             for k, i in enumerate(idxs):
