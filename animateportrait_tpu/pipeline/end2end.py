@@ -89,6 +89,29 @@ class TalkingPortraitPipeline:
         t0 = time.time()
         if isinstance(wav, str):
             wav = load_wav(wav)
+
+        # Warm the renderer's jits on a dummy photo/landmark set in the
+        # background: its compile/cache-load (tens of seconds in a fresh
+        # process) overlaps the align + audio + landmark stages instead
+        # of serializing in front of the first real frame batch.
+        import threading
+
+        def _warm():
+            try:
+                r = np.random.default_rng(0)
+                dummy_photo = r.uniform(-1, 1, (256, 256, 3)).astype(
+                    np.float32)
+                d68 = r.uniform(80.0, 180.0, (68, 2)).astype(np.float32)
+                tb = d68[None] + r.uniform(
+                    -2, 2, (self.renderer.frame_batch, 68, 2)).astype(
+                    np.float32)
+                self.renderer(dummy_photo, d68, tb)
+            except Exception:
+                pass  # warmup is best-effort; real call surfaces errors
+
+        warm_thread = threading.Thread(target=_warm, daemon=True)
+        warm_thread.start()
+
         aligned, raw_shape, norm_shape, scale, shift = self.prepare_face(
             img_bgr)
         log("face aligned")
@@ -130,6 +153,7 @@ class TalkingPortraitPipeline:
         # by load_size/512 like the test dataset's trans_lm
         a68 = (raw_shape[:, :2] * (256.0 / 512.0)).astype(np.float32)
         tb68 = fl[:, :, :2] * (256.0 / 512.0)
+        warm_thread.join()  # renderer programs ready (compiled/loaded)
         frames = self.renderer(
             photo_rgb, a68, tb68.astype(np.float32),
             progress=lambda i, n: log(f"rendered {i}/{n}"))
