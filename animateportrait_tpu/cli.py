@@ -44,8 +44,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--load_a2l_C_name", default="ckpt_content_branch.pth")
     p.add_argument("--emb_coef", type=float, default=3.0)
     p.add_argument("--reuse_train_emb_list", nargs="+", default=[],
-                   help="accepted for parity; requires the training "
-                   "embedding dumps, which this build does not ship")
+                   help="render one output per key using the saved "
+                   "speaker embedding <ckpt_dir>/emb.pickle[key] for the "
+                   "landmark branch instead of the embedding computed "
+                   "from --audio")
     p.add_argument("--amp_lip_x", type=float, default=2.0)
     p.add_argument("--amp_lip_y", type=float, default=2.0)
     p.add_argument("--amp_pos", type=float, default=0.5)
@@ -127,6 +129,36 @@ def build_pipeline(args):
         mtcnn_lib.load_onet_params(os.path.join(mtcnn_w, "onet.npy")),
     )
 
+    # 68-pt landmark source: a converted face_alignment FAN when its
+    # checkpoint is present (the driver's step 2,
+    # main_end2end_module2.py:188-193); otherwise the canonical-face
+    # 5-pt fit — a DEGRADED mode that erases identity-specific geometry.
+    from animateportrait_tpu.models.fan3d import (
+        FaceAlignment3D, find_fan_checkpoints, load_depth_params,
+        load_fan3d_params, make_fan_landmark_fn)
+
+    landmark_fn = None
+    fan_path, depth_path = find_fan_checkpoints(cd)
+    if fan_path:
+        fan_v = load_fan3d_params(_load_fa_statedict(fan_path))
+        depth_v = (load_depth_params(_load_fa_statedict(depth_path))
+                   if depth_path else None)
+        fa = FaceAlignment3D(fan_v, depth_v)
+        landmark_fn = make_fan_landmark_fn(fa, detector)
+        if depth_path is None:
+            print("[animateportrait] FAN loaded without the depth net; "
+                  "z comes out 0 (the driver overwrites z anyway)",
+                  file=sys.stderr)
+    else:
+        print(
+            "[animateportrait] WARNING: no face_alignment FAN checkpoint "
+            f"found under {cd} (looked for 3DFAN4*/2DFAN4*.pth). Falling "
+            "back to the canonical-face 5-pt fit: every subject gets the "
+            "same jaw/brow/lip geometry up to a similarity transform, so "
+            "output will NOT track this face's actual shape. Place a "
+            "converted face_alignment checkpoint in the checkpoint dir "
+            "to fix this.", file=sys.stderr)
+
     T0 = 32
     autovc_v = _load_or_init(
         os.path.join(cd, args.load_AUTOVC_name), load_autovc_params,
@@ -193,7 +225,43 @@ def build_pipeline(args):
         style=style, output_nc=nc, frame_batch=args.frame_batch,
         output_uint8=True)
 
-    return TalkingPortraitPipeline(detector, predictor, audio, renderer)
+    return TalkingPortraitPipeline(detector, predictor, audio, renderer,
+                                   landmark_fn=landmark_fn)
+
+
+def _load_fa_statedict(path: str) -> dict:
+    """face_alignment checkpoint -> numpy state dict. Newer releases ship
+    torchscript .zip archives; older ones plain .pth.tar state dicts."""
+    import torch
+
+    from animateportrait_tpu.io.torch_convert import load_torch_statedict
+
+    if path.endswith(".zip"):
+        mod = torch.jit.load(path, map_location="cpu")
+        return {k: v.detach().numpy()
+                for k, v in mod.state_dict().items()}
+    return load_torch_statedict(path)
+
+
+def load_train_embs(ckpt_dir: str) -> dict:
+    """Load the saved train-speaker embeddings dict {name: (256,) array}.
+
+    Reference: `checkpoints/emb.pickle` probed at two locations
+    (train_audio2landmark.py:89-94). Accepts .pickle or .npz."""
+    import pickle
+
+    for cand in (os.path.join(ckpt_dir, "emb.pickle"),
+                 os.path.join(ckpt_dir, "..", "emb.pickle")):
+        if os.path.exists(cand):
+            with open(cand, "rb") as fp:
+                return {k: np.asarray(v, np.float32).reshape(-1)
+                        for k, v in pickle.load(fp).items()}
+    npz = os.path.join(ckpt_dir, "emb.npz")
+    if os.path.exists(npz):
+        with np.load(npz) as z:
+            return {k: z[k].astype(np.float32).reshape(-1) for k in z.files}
+    raise SystemExit(
+        f"--reuse_train_emb_list: no emb.pickle/emb.npz under {ckpt_dir}")
 
 
 def _split_video(video_path: str, audio_path: str | None):
@@ -239,27 +307,38 @@ def main(argv=None):
         args.jpg, args.audio = _split_video(args.video, args.audio)
     if not args.jpg or not args.audio:
         raise SystemExit("need --jpg and --audio (or --video)")
+    # Saved train-embedding path. The reference loads
+    # checkpoints/emb.pickle {name: 256-d emb} and renders one pass per
+    # key with test_embs[key] as the speaker embedding
+    # (train_audio2landmark.py:89-94,263-275). (Its shipped driver always
+    # passes the computed au_emb, which shadows the saved one — we
+    # implement the saved-embedding semantics the flag is named for.)
+    emb_runs: list[tuple[str, np.ndarray | None]] = [("", None)]
     if args.reuse_train_emb_list:
-        print("[animateportrait] --reuse_train_emb_list needs the "
-              "training embedding dumps; computing the embedding from "
-              "--audio instead")
+        emb_runs = [(k, load_train_embs(args.ckpt_dir)[k])
+                    for k in args.reuse_train_emb_list]
     pipeline = build_pipeline(args)
     img = cv2.imread(args.jpg)
     if img is None:
         raise SystemExit(f"cannot read {args.jpg}")
     wav = load_wav(args.audio)
-    out = pipeline(img, wav, gender=args.gender,
-                   rng=np.random.default_rng(args.seed))
 
     base = "{}-{}".format(
         os.path.splitext(os.path.basename(args.jpg))[0],
         os.path.splitext(os.path.basename(args.audio))[0])
     os.makedirs(os.path.join(args.output, base), exist_ok=True)
-    dst = os.path.join(args.output, base,
-                       f"output_{args.exp.replace('/', '_')}.avi")
-    path = write_video_with_audio(dst, out.frames, wav, fps=out.fps)
-    print(f"[animateportrait] wrote {path} "
-          f"({out.frames.shape[0]} frames @ {out.fps} fps)")
+    path = None
+    for key, emb in emb_runs:
+        out = pipeline(img, wav, gender=args.gender,
+                       rng=np.random.default_rng(args.seed),
+                       spk_emb_override=emb)
+        suffix = f"_{key}" if key else ""
+        dst = os.path.join(
+            args.output, base,
+            f"output_{args.exp.replace('/', '_')}{suffix}.avi")
+        path = write_video_with_audio(dst, out.frames, wav, fps=out.fps)
+        print(f"[animateportrait] wrote {path} "
+              f"({out.frames.shape[0]} frames @ {out.fps} fps)")
     return path
 
 

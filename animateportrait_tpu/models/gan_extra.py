@@ -282,8 +282,10 @@ def define_g(netg: str, output_nc: int = 3, ngf: int = 64,
              **kw):
     """Reference define_G registry (networks.py:123-201) -> flax module.
 
-    Trident sub-variants not yet re-implemented raise NotImplementedError
-    with a pointer to the closest available module.
+    Serves every netG name the reference registers, including all trident
+    sub-variants (full_ifw / colorcoded / ifw2 / single / single2 / single3
+    / fw / fw2 / ifw / rcatland 2-4 / 32), style2, unet, regressor archs
+    1-5, and combiner.
     """
     from animateportrait_tpu.models.gan import (
         ResnetGenerator, ResnetStyle2Generator, TridentGeneratorFullIFW)

@@ -6,11 +6,13 @@ largest detected face -> 1.2x square -> /0.7 expansion with the 11/20
 vertical offset -> white-padded crop -> bicubic resize to 512.
 
 For the 3D 68-point landmarks the reference calls the external
-`face_alignment` FAN (main_end2end_module2.py:188). Its checkpoint is not
-redistributable here, so `estimate_landmarks_from_5pt` provides a weights-
-free substitute: similarity-align the canonical 68x3 face to MTCNN's
-5-point landmarks (eyes, nose, mouth corners). A converted FAN can be
-plugged in through the `landmark_fn` hook of the end-to-end pipeline.
+`face_alignment` FAN (main_end2end_module2.py:188). The default source is
+our reimplementation of that net (`models.fan3d.FaceAlignment3D`), wired
+up automatically by the CLI when a converted checkpoint is present.
+`estimate_landmarks_from_5pt` is the weights-free DEGRADED fallback:
+similarity-align the canonical 68x3 face to MTCNN's 5-point landmarks
+(eyes, nose, mouth corners) — same geometry for every subject, loudly
+warned about by the CLI.
 """
 from __future__ import annotations
 

@@ -78,7 +78,13 @@ class TalkingPortraitPipeline:
 
     def __call__(self, img_bgr: np.ndarray, wav: np.ndarray | str,
                  gender: str = "F",
-                 rng: np.random.Generator | None = None) -> PipelineOutputs:
+                 rng: np.random.Generator | None = None,
+                 spk_emb_override: np.ndarray | None = None
+                 ) -> PipelineOutputs:
+        """spk_emb_override: use this 256-d speaker embedding for the
+        landmark branch instead of the one computed from `wav` — the
+        `--reuse_train_emb_list` saved-embedding path
+        (train_audio2landmark.py:263-275 `test_embs[key]`)."""
         import sys
         import time
 
@@ -106,8 +112,9 @@ class TalkingPortraitPipeline:
                     -2, 2, (self.renderer.frame_batch, 68, 2)).astype(
                     np.float32)
                 self.renderer(dummy_photo, d68, tb)
-            except Exception:
-                pass  # warmup is best-effort; real call surfaces errors
+            except Exception as e:  # warmup best-effort; real call surfaces
+                log(f"renderer warmup failed ({type(e).__name__}: {e}); "
+                    "first render batch will compile inline")
 
         warm_thread = threading.Thread(target=_warm, daemon=True)
         warm_thread.start()
@@ -121,7 +128,9 @@ class TalkingPortraitPipeline:
         au = normalize_audio_features(feats.mel_autovc)
         windows = sliding_windows(au)
         face_id = norm_shape.reshape(1, 204).astype(np.float32)
-        fl = self.predictor(windows, feats.spk_emb, face_id)  # (T, 204)
+        spk = (np.asarray(spk_emb_override, np.float32).reshape(-1)
+               if spk_emb_override is not None else feats.spk_emb)
+        fl = self.predictor(windows, spk, face_id)  # (T, 204)
         log(f"landmarks predicted: {fl.shape[0]} frames")
 
         # un-normalize back to aligned-512 pixel space (:265-266)
@@ -153,7 +162,13 @@ class TalkingPortraitPipeline:
         # by load_size/512 like the test dataset's trans_lm
         a68 = (raw_shape[:, :2] * (256.0 / 512.0)).astype(np.float32)
         tb68 = fl[:, :, :2] * (256.0 / 512.0)
-        warm_thread.join()  # renderer programs ready (compiled/loaded)
+        # Renderer programs ready (compiled/loaded). Bounded join: a wedged
+        # warmup (device hang/OOM) must not deadlock the pipeline — fall
+        # through and let the real render call compile/surface the error.
+        warm_thread.join(timeout=600.0)
+        if warm_thread.is_alive():
+            log("renderer warmup still running after 600s; "
+                "proceeding — the real render call will wait on the device")
         frames = self.renderer(
             photo_rgb, a68, tb68.astype(np.float32),
             progress=lambda i, n: log(f"rendered {i}/{n}"))

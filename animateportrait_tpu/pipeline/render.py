@@ -109,6 +109,7 @@ class Module2Renderer:
 
     def __init__(self, variables: RendererVariables, style: str = "drawing",
                  output_nc: int | None = None, ngf: int = 64,
+                 n_blocks: int = 9,
                  div: int = 3, disp: int = 3, crop_size: int = 256,
                  frame_batch: int = 8, flowunet: FlowUnet | None = None,
                  modnet: MODNet | None = None,
@@ -137,7 +138,8 @@ class Module2Renderer:
         self.style = style
         nc = output_nc if output_nc is not None else (
             1 if style == "drawing" else 3)
-        self.g = TridentGeneratorFullIFW(output_nc=nc, ngf=ngf, div=div,
+        self.g = TridentGeneratorFullIFW(output_nc=nc, ngf=ngf,
+                                         n_blocks=n_blocks, div=div,
                                          disp=disp)
         self.flowunet = flowunet or FlowUnet()
         self.modnet = modnet or MODNet()

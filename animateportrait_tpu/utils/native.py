@@ -102,10 +102,14 @@ def assemble_batch(imgs: list[np.ndarray], crop_xy: np.ndarray,
 def decode_image(path: str, grayscale: bool = False) -> np.ndarray | None:
     """Decode a PNG/JPEG file with the native (libpng/libjpeg) decoder.
 
-    Returns uint8 (H, W, 3) RGB or (H, W) grayscale — byte-exact with
-    ``PIL.Image.open().convert("RGB"|"L")`` (grayscale uses PIL's ITU-R
-    601-2 integer formula) — or None when the native library is absent or
-    the file isn't a PNG/JPEG (caller falls back to PIL).
+    Returns uint8 (H, W, 3) RGB or (H, W) grayscale, or None when the
+    native library is absent or the file isn't a PNG/JPEG (caller falls
+    back to PIL). PNG decode and the grayscale conversion (PIL's ITU-R
+    601-2 integer formula) are byte-exact with
+    ``PIL.Image.open().convert("RGB"|"L")``; JPEG decode matches within
+    ±1 per sample — it depends on the system libjpeg's IDCT, which may
+    differ from PIL's bundled libjpeg-turbo (tests/test_native.py asserts
+    the ±1 bound).
     """
     lib = _lib()
     if lib is None or not hasattr(lib, "decode_image"):

@@ -28,6 +28,8 @@ def write_video(path: str, frames: np.ndarray, fps: float = 62.5) -> str:
 
     if frames.dtype != np.uint8:
         frames = frames_to_uint8(frames)
+    if frames.shape[-1] == 1:  # uint8 gray input: VideoWriter needs 3ch
+        frames = np.repeat(frames, 3, axis=-1)
     h, w = frames.shape[1:3]
     fourcc = cv2.VideoWriter_fourcc(*("MJPG" if path.endswith(".avi")
                                       else "mp4v"))
@@ -124,6 +126,8 @@ def write_video_with_audio(path: str, frames: np.ndarray, wav: np.ndarray,
 
     if frames.dtype != np.uint8:
         frames = frames_to_uint8(frames)
+    if frames.shape[-1] == 1:  # strf header declares 24-bit; expand gray
+        frames = np.repeat(frames, 3, axis=-1)
     jpegs = []
     for f in frames:
         ok, buf = cv2.imencode(

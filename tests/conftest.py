@@ -19,17 +19,26 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 os.environ.setdefault("JAX_ENABLE_X64", "0")
-# persistent compilation cache: first compiles here are ~20-40s; cache them
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-os.environ.setdefault(
-    "JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1"
-)
+# Persistent compilation cache: first compiles here are ~20-40s; cache them.
+# NOTE: the JAX_COMPILATION_CACHE_DIR env var is IGNORED by this JAX once
+# jax is imported — the cache only engages via jax.config.update (verified:
+# /tmp/jax_cache stayed empty for weeks with only the env var set).
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
 
 import numpy as np
 import pytest
+
+
+def pytest_collection_modifyitems(config, items):
+    """Every test not marked `slow` is `fast`: `pytest -m fast` is the
+    quick iteration loop, the full suite is the CI gate."""
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.fast)
 
 
 @pytest.fixture

@@ -37,6 +37,7 @@ def test_detect_faces_batch_matches_single():
     assert len(results[1][0]) >= 1  # mirrored face also detected
 
 
+@pytest.mark.slow
 def test_batched_landmark_predictor_matches_single(rng):
     from animateportrait_tpu.models.audio2landmark import (
         Audio2landmarkContent, Audio2landmarkPos)

@@ -1,10 +1,12 @@
 """Orbax checkpoint round trips for the Module2 train state."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
 
 
+@pytest.mark.slow
 def test_trainstate_roundtrip(tmp_path):
     from animateportrait_tpu.io.checkpoint import restore, save
     from animateportrait_tpu.train.module2 import (

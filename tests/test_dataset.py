@@ -89,6 +89,7 @@ def test_dataset_sample_shapes(tmp_path):
     np.testing.assert_array_equal(batch["real_A"], b2["real_A"])
 
 
+@pytest.mark.slow
 def test_dataset_feeds_train_step(tmp_path):
     """The dataset's batches run through the real train step with
     on-device warp-grid derivation (no precomputed warp_motion)."""

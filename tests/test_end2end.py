@@ -112,6 +112,85 @@ def test_cli_flag_surface():
     assert args.load_AUTOVC_name == "a.pth"
 
 
+def test_load_train_embs(tmp_path):
+    """--reuse_train_emb_list loads emb.pickle {key: 256-d}
+    (train_audio2landmark.py:89-94)."""
+    import pickle
+
+    from animateportrait_tpu.cli import load_train_embs
+
+    embs = {"spk1": np.arange(256, dtype=np.float32) / 256.0,
+            "spk2": np.ones((1, 256), np.float64)}
+    with open(tmp_path / "emb.pickle", "wb") as fp:
+        pickle.dump(embs, fp)
+    loaded = load_train_embs(str(tmp_path))
+    assert set(loaded) == {"spk1", "spk2"}
+    assert loaded["spk2"].shape == (256,)  # reshaped flat
+    assert loaded["spk1"].dtype == np.float32
+    np.testing.assert_allclose(loaded["spk1"], embs["spk1"])
+    with pytest.raises(SystemExit):
+        load_train_embs(str(tmp_path / "nowhere"))
+
+
+def test_uint8_gray_frames_expand_to_3ch(tmp_path):
+    """uint8 (T,H,W,1) frames must not be dropped by cv2.VideoWriter nor
+    muxed as 1-ch JPEG under a 24-bit strf header (ADVICE r1)."""
+    import cv2
+
+    from animateportrait_tpu.utils.video import (
+        write_video, write_video_with_audio)
+
+    frames = np.random.default_rng(0).integers(
+        0, 255, (4, 64, 64, 1), dtype=np.uint8)
+    wav = np.zeros(int(4 / 62.5 * 16000), np.float32)
+    p1 = write_video(str(tmp_path / "v.avi"), frames)
+    cap = cv2.VideoCapture(p1)
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    assert n == 4  # 1-ch input used to produce an empty video
+    p2 = write_video_with_audio(str(tmp_path / "m.avi"), frames, wav)
+    cap = cv2.VideoCapture(p2)
+    ok, fr = cap.read()
+    assert ok and fr.shape == (64, 64, 3)
+
+
+def test_spk_emb_override_changes_prediction(rng):
+    """spk_emb_override reaches the landmark branch in place of the
+    computed embedding (reuse_train_emb_list semantics)."""
+    from animateportrait_tpu.pipeline.end2end import TalkingPortraitPipeline
+
+    calls = []
+
+    class SpyPredictor:
+        def __call__(self, windows, spk, face_id):
+            calls.append(np.asarray(spk).copy())
+            return np.zeros((windows.shape[0], 204), np.float32)
+
+    class StubAudio:
+        def __call__(self, wav, gender):
+            import types
+            return types.SimpleNamespace(
+                mel_autovc=np.zeros((30, 80), np.float32),
+                spk_emb=np.zeros(256, np.float32))
+
+    class StubRenderer:
+        frame_batch = 4
+
+        def __call__(self, photo, a68, tb68, progress=None):
+            return np.zeros((tb68.shape[0], 256, 256, 1), np.float32)
+
+    pipe = TalkingPortraitPipeline(StubDetector(), SpyPredictor(),
+                                   StubAudio(), StubRenderer())
+    img = (rng.uniform(0, 255, (300, 280, 3))).astype(np.uint8)
+    wav = rng.uniform(-0.1, 0.1, 8000).astype(np.float64)
+    pipe(img, wav)
+    override = np.full(256, 0.5, np.float32)
+    pipe(img, wav, spk_emb_override=override)
+    assert np.allclose(calls[0], 0.0)
+    assert np.allclose(calls[1], 0.5)
+
+
 def test_cli_video_requires_audio_without_ffmpeg(tmp_path, monkeypatch):
     import shutil
 

@@ -1,6 +1,7 @@
 """FAN landmark net: parity of the heatmap decoder vs the reference loop and
 a forward smoke test."""
 import numpy as np
+import pytest
 import torch
 
 import jax
@@ -39,6 +40,7 @@ def test_heatmap_decoding_parity(rng):
     np.testing.assert_allclose(ours, ref, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fan_forward_smoke(rng):
     from animateportrait_tpu.models.fan import FAN
 

@@ -1,6 +1,7 @@
 """FlowUnetV2 / DualUnetGenerator parity vs torch replicas of
 `intrinsic_flow_models/networks.py:26-75,233-431,647-744`."""
 import numpy as np
+import pytest
 import torch
 import torch.nn as tnn
 import torch.nn.functional as F
@@ -259,6 +260,7 @@ def test_dual_unet_parity_with_warp():
                                tout.permute(0, 2, 3, 1).numpy(), atol=3e-4)
 
 
+@pytest.mark.slow
 def test_dual_unet_no_flow_and_aux():
     model = DualUnetGenerator(pose_nc=4, appearance_nc=3, output_nc=3,
                               aux_output_nc=(2,), nf=4, max_nf=8,

@@ -119,6 +119,7 @@ def test_conditional_resnet_modes(rng):
         assert np.isfinite(np.asarray(out)).all(), mode
 
 
+@pytest.mark.slow
 def test_registry_and_small_nets(rng):
     from animateportrait_tpu.models.gan_extra import (
         HED, ULP, Combiner, NLayerDiscriminatorCls, Regressor, define_d,
@@ -206,6 +207,7 @@ def test_trident_variant_family(rng):
     assert define_g("resnet_9blocks_rcatland3", output_nc=1)
 
 
+@pytest.mark.slow
 def test_unet_parse_generator_parity(rng):
     """UnetParseGenerator vs a torch replica of networks.py:311-405
     (BatchNorm, output_padding=1 + crop, softmax head)."""

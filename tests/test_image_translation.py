@@ -1,6 +1,7 @@
 """Image-translation renderer: ResUnet parity vs a torch replica; VGG19
 slice shapes; gram/style loss parity."""
 import numpy as np
+import pytest
 import torch
 import torch.nn as tnn
 
@@ -8,6 +9,7 @@ import jax
 import jax.numpy as jnp
 
 
+@pytest.mark.slow
 def test_resunet_smoke(rng):
     from animateportrait_tpu.models.image_translation import (
         ResUnetGenerator)

@@ -1,10 +1,12 @@
 """Image-translation trainer + dataset smoke tests."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
 
 
+@pytest.mark.slow
 def test_dataset_and_train_step(rng):
     from animateportrait_tpu.data.image_translation import (
         ImageTranslationDataset)

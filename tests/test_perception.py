@@ -1,6 +1,7 @@
 """Parity tests for MobileFaceNet and Sphere20a vs torch replicas of the
 reference architectures (mobilefacenet.py, facenet.py) with shared weights."""
 import numpy as np
+import pytest
 import torch
 import torch.nn as tnn
 
@@ -221,6 +222,7 @@ def test_crop_head_bbox(rng):
         np.asarray(out), ref.permute(0, 2, 3, 1).numpy(), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_senet50_parity(rng):
     """SENet-50 feature extractor vs a torch replica (one block per layer
     to keep it fast; same bottleneck/SE structure)."""

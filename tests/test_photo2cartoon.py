@@ -1,6 +1,7 @@
 """Photo2Cartoon UGATIT generator parity vs a torch replica of the reference
 (`Module2/models/photo2cartoon.py:166-525`) with shared weights."""
 import numpy as np
+import pytest
 import torch
 import torch.nn as tnn
 import torch.nn.functional as F
@@ -239,6 +240,7 @@ def _torch_p2c(ngf=8):
     return Gen()
 
 
+@pytest.mark.slow
 def test_photo2cartoon_parity(rng):
     from animateportrait_tpu.models.photo2cartoon import (
         Photo2CartoonGenerator, load_photo2cartoon_params)

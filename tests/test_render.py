@@ -80,6 +80,7 @@ def test_module2_renderer_smoke(rng):
     assert np.isfinite(frames).all()
 
 
+@pytest.mark.slow
 def test_bf16_generator_matches_fp32_psnr():
     """bf16 rendering quality characterization: full-bf16 (weights +
     activations) holds ~30 dB PSNR vs fp32 on an untrained generator —

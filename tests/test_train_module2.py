@@ -33,6 +33,7 @@ def _setup(cfg, batch_size=1):
     return state, batch, frozen, step
 
 
+@pytest.mark.slow
 def test_train_step_smoke():
     cfg = _small_cfg()
     state, batch, frozen, step = _setup(cfg)
@@ -54,6 +55,7 @@ def test_train_step_smoke():
     assert int(state2.pool_count) >= int(state1.pool_count)
 
 
+@pytest.mark.slow
 def test_train_step_dp_sharding():
     """Full train step jitted over an 8-device data-parallel mesh."""
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -82,6 +84,7 @@ def test_train_step_dp_sharding():
     assert leaf.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_train_step_dp_fsdp_sharding():
     """DP batch sharding + FSDP parameter sharding over the 8-device mesh."""
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -253,6 +256,7 @@ def test_init_weights_modes(init_type):
         np.testing.assert_allclose(gram, np.eye(128), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_train_step_bf16_compute():
     """Mixed-precision step: finite losses, f32 master params updated."""
     import dataclasses
