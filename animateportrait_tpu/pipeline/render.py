@@ -178,21 +178,29 @@ class Module2Renderer:
                 static_512, (self.crop_size, self.crop_size),
                 align_corners=False)
         else:
+            # Photo2Cartoon.inference2 routes the photo through a
+            # truncating uint8 round trip before the net
+            # (photo2cartoon.py:585-589: (x+1)*127.5 astype(uint8),
+            # /127.5-1) — replicated on device for bit-parity
+            q = jnp.floor(jnp.clip((photo + 1.0) * 127.5, 0, 255))
             cartoon, _, _ = self.cartoon_g.apply(
-                nets["photo2cartoon"], photo)
+                nets["photo2cartoon"], q / 127.5 - 1.0)
             fake_static = cartoon
         photo_fore = ((photo / 2 + 0.5) * mask + 1 - mask) * 2 - 1
         return photo_fore, mask, fake_static
 
     # --- per frame batch ---
     def _frames(self, nets, photo_fore, mask, fake_static, a_lm_img,
-                a_lm68, tb_lm_imgs, tb_lm68s):
+                a_lm68, tb_lm_imgs, tb_lm68s, motions=None):
         B = tb_lm68s.shape[0]
         cs = self.crop_size
-        # TPS motion grids computed in the same program — a separate
-        # dispatch per batch costs a full tunnel round trip
-        motions = motion_grid_from_landmarks(
-            jnp.broadcast_to(a_lm68, tb_lm68s.shape), tb_lm68s, cs)
+        if motions is None:
+            # TPS motion grids computed in the same program — a separate
+            # dispatch per batch costs a full tunnel round trip.
+            # (A precomputed grid can be injected instead, e.g. the
+            # reference's scipy-griddata grid for exact-parity runs.)
+            motions = motion_grid_from_landmarks(
+                jnp.broadcast_to(a_lm68, tb_lm68s.shape), tb_lm68s, cs)
         if tb_lm_imgs.dtype == jnp.uint8:
             # landmark images cross host->device as uint8 (4x less
             # transfer); same (v/255)*2-1 mapping as draw_landmarks
@@ -243,11 +251,15 @@ class Module2Renderer:
 
     def __call__(self, photo: np.ndarray, a_lm68: np.ndarray,
                  tb_lm68s: np.ndarray,
-                 progress: Callable[[int, int], None] | None = None
-                 ) -> np.ndarray:
+                 progress: Callable[[int, int], None] | None = None,
+                 motions: np.ndarray | None = None) -> np.ndarray:
         """photo (256,256,3) [-1,1]; a_lm68 (68,2); tb_lm68s (T,68,2)
         -> frames (T,256,256,nc) in [-1,1] float32 (or uint8 RGB/gray
-        when constructed with output_uint8=True)."""
+        when constructed with output_uint8=True).
+
+        motions: optional (T, cs, cs, 2) precomputed normalized warp
+        grids replacing the on-device TPS (the reference's per-frame
+        scipy-griddata grids, umlvdfw_test_dataset.py:67-81)."""
         cs = self.crop_size
         photo = jnp.asarray(photo, jnp.float32)[None]
         a68 = jnp.asarray(a_lm68, jnp.float32)[None]
@@ -262,6 +274,11 @@ class Module2Renderer:
         tb68_p = np.concatenate(
             [tb_lm68s, np.repeat(tb_lm68s[-1:], pad, 0)], 0) if pad else (
             np.asarray(tb_lm68s))
+        mo_p = None
+        if motions is not None:
+            mo_p = np.concatenate(
+                [motions, np.repeat(motions[-1:], pad, 0)],
+                0) if pad else np.asarray(motions)
         tb_imgs = np.stack([draw_landmarks(cs, cs, lm) for lm in tb68_p])
         # ship landmark rasters as uint8 (exact: they're (v/255)*2-1 of
         # a uint8 buffer); _frames converts on device
@@ -271,7 +288,9 @@ class Module2Renderer:
             lm_batch = jnp.asarray(tb68_p[j: j + fb], jnp.float32)
             out = self._frames_jit(
                 self._frame_nets, *prep, a_lm_img, a68,
-                jnp.asarray(tb_imgs_u8[j: j + fb]), lm_batch)
+                jnp.asarray(tb_imgs_u8[j: j + fb]), lm_batch,
+                None if mo_p is None else jnp.asarray(
+                    mo_p[j: j + fb], jnp.float32))
             # keep the device array and start its host copy in the
             # background — a synchronous np.asarray here would stall the
             # dispatch pipeline on every batch (compute, then transfer,

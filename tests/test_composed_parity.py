@@ -1,0 +1,297 @@
+"""Composed inference parity: the FULL render chain (matte -> static
+stylize -> intrinsic flow -> trident G -> warped-matte fg/bg blend) vs a
+torch transcription of `GeomCGTIFWTestModel`
+(Module2/models/geomcgt_ifw_test_model.py:276-302 + flow_network_warp
+:62-76 + the test dataset's scipy-griddata warp grid,
+umlvdfw_test_dataset.py:67-81), with shared random weights.
+
+This is the test that fails if any stage's *composition* drifts, even when
+each per-module parity test still passes. The torch side uses the
+reference's exact piecewise-linear griddata warp grid while ours uses the
+batched on-device TPS, so landmark offsets are kept small; PSNR >= 40 dB
+is asserted on the final frame for both --exp styles.
+"""
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from test_gan import _nchw, _nhwc
+
+
+# ---------------------------------------------------------------------------
+# reference transcriptions (host side of the torch chain)
+# ---------------------------------------------------------------------------
+
+def _kp_to_map_some(img_sz, kps_batch, radius=4):
+    """geomcgt_ifw_test_model.py:12-42 (binary mode)."""
+    w, h = img_sz
+    xg, yg = np.meshgrid(range(w), range(h), indexing="xy")
+    out = []
+    for kps in kps_batch:
+        maps = []
+        for x, y in kps:
+            if x == -1 or y == -1:
+                maps.append(np.zeros((h, w), np.float32))
+            else:
+                maps.append(((xg - x) ** 2 + (yg - y) ** 2
+                             <= radius ** 2).astype(np.float32))
+        out.append(np.stack(maps, 0))
+    return torch.from_numpy(np.stack(out, 0))
+
+
+def _cal_motion256(lm2d0, lm2d):
+    """umlvdfw_test_dataset.py:67-81: scipy griddata dst->src grid."""
+    from scipy.interpolate import griddata
+
+    grid_x, grid_y = np.mgrid[0:255:256j, 0:255:256j]
+    edges = np.array([[0, 0], [255, 255], [0, 255], [255, 0], [0, 255],
+                      [255, 0], [255, 255], [255, 255]])
+    lm2d = lm2d[:, [1, 0]]
+    lm2d0 = lm2d0[:, [1, 0]]
+    destination = np.concatenate((lm2d, edges))
+    source = np.concatenate((lm2d0, edges))
+    grid_z = griddata(destination, source, (grid_x, grid_y),
+                      method="linear")
+    map_x = np.append([], [ar[:, 1] for ar in grid_z]).reshape(256, 256)
+    map_y = np.append([], [ar[:, 0] for ar in grid_z]).reshape(256, 256)
+    map_xy = np.stack([map_x.astype("float32"),
+                       map_y.astype("float32")], axis=2)
+    return map_xy / 127.5 - 1
+
+
+def _torch_flow_network_warp(netF, a68, tb68):
+    """flow_network_warp (geomcgt_ifw_test_model.py:62-76)."""
+    with torch.no_grad():
+        j1 = _kp_to_map_some((224, 224), a68[None] * 7 / 8)
+        j2 = _kp_to_map_some((224, 224), tb68[None] * 7 / 8)
+        flow_out, vis_out, _, _ = netF(torch.cat([j1, j2], 1))
+        vis = vis_out.argmax(dim=1, keepdim=True).float()
+        mask = (vis < 2).float()
+        flow = flow_out * 20.0 * mask
+        warp_flow = F.interpolate(flow / 7 * 8, size=(256, 256),
+                                  mode="bilinear", align_corners=True)
+        res_mask = F.interpolate(mask, size=(256, 256), mode="bilinear",
+                                 align_corners=True)
+    return warp_flow, res_mask
+
+
+def _torch_composed_forward(modnet, static_fn, netG, netF, real_A,
+                            a_lm_img, tb_lm_img, a68, tb68):
+    """GeomCGTIFWTestModel.set_input + forward (:254-302)."""
+    with torch.no_grad():
+        iw_flow, if_mask = _torch_flow_network_warp(netF, a68, tb68)
+        warp_motion = torch.from_numpy(
+            _cal_motion256(a68, tb68)).unsqueeze(0).float()
+        matte = modnet(real_A)  # replica returns the matte directly
+        mask = (matte > 0.5).float()
+        fakeB_static = static_fn(real_A)
+        real_A_fore = ((real_A / 2 + 0.5) * mask + 1 - mask) * 2 - 1
+        fake_B = netG(real_A_fore, a_lm_img, tb_lm_img, warp_motion,
+                      iw_flow, if_mask)
+        mask1 = F.grid_sample(mask, warp_motion, align_corners=True)
+        out = ((fake_B / 2 + 0.5) * mask1
+               + (fakeB_static / 2 + 0.5) * (1 - mask1)) * 2 - 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# shared fixtures: small nets with converted weights, face-ish landmarks
+# ---------------------------------------------------------------------------
+
+def _face_landmarks():
+    """A rough 68-pt face layout inside the 256 face window (not a real
+    face — enough to give the TPS/flow a plausible geometry)."""
+    t = np.linspace(0, np.pi, 17)
+    jaw = np.stack([128 + 58 * np.cos(np.pi - t),
+                    120 + 75 * np.sin(t)], 1)
+    brow_l = np.stack([np.linspace(85, 115, 5), np.full(5, 92.0)], 1)
+    brow_r = np.stack([np.linspace(140, 170, 5), np.full(5, 92.0)], 1)
+    nose_v = np.stack([np.full(4, 128.0), np.linspace(100, 130, 4)], 1)
+    nose_b = np.stack([np.linspace(118, 138, 5), np.full(5, 138.0)], 1)
+    eye_l = np.stack([100 + 10 * np.cos(np.linspace(0, 2 * np.pi, 7)[:6]),
+                      104 + 4 * np.sin(np.linspace(0, 2 * np.pi, 7)[:6])],
+                     1)
+    eye_r = np.stack([155 + 10 * np.cos(np.linspace(0, 2 * np.pi, 7)[:6]),
+                      104 + 4 * np.sin(np.linspace(0, 2 * np.pi, 7)[:6])],
+                     1)
+    ang = np.linspace(0, 2 * np.pi, 13)[:12]
+    mouth_o = np.stack([128 + 20 * np.cos(ang), 165 + 9 * np.sin(ang)], 1)
+    ang8 = np.linspace(0, 2 * np.pi, 9)[:8]
+    mouth_i = np.stack([128 + 11 * np.cos(ang8), 165 + 4 * np.sin(ang8)],
+                       1)
+    lm = np.concatenate([jaw, brow_l, brow_r, nose_v, nose_b, eye_l,
+                         eye_r, mouth_o, mouth_i], 0)
+    assert lm.shape == (68, 2)
+    return lm.astype(np.float32)
+
+
+def _smooth_photo(rng, size=256):
+    import cv2
+
+    x = rng.uniform(-1, 1, (32, 32, 3)).astype(np.float32)
+    up = cv2.resize(x, (size, size), interpolation=cv2.INTER_CUBIC)
+    # clamp the bicubic overshoot: pipeline photos are uint8/127.5-1,
+    # always in [-1, 1) — out-of-range values would wrap in the
+    # reference's uint8 cartoon path (photo2cartoon.py:587)
+    return np.clip(up, -1.0, 1.0)
+
+
+def _psnr(a, b, peak=2.0):
+    mse = float(np.mean((np.asarray(a, np.float64)
+                         - np.asarray(b, np.float64)) ** 2))
+    return 10.0 * np.log10(peak * peak / mse)
+
+
+def _build_shared(style, rng):
+    """Small torch nets + converted jax renderer for one style."""
+    from test_flowunet import _torch_flowunet
+    from test_modnet import _torch_modnet
+
+    from animateportrait_tpu.models.flowunet import (
+        FlowUnet, load_flowunet_params)
+    from animateportrait_tpu.models.gan import (
+        ResnetStyle2Generator, load_style2_params,
+        load_trident_full_ifw_params)
+    from animateportrait_tpu.models.modnet import load_modnet_params
+    from animateportrait_tpu.pipeline.render import (
+        Module2Renderer, RendererVariables)
+
+    torch.manual_seed(11)
+    nc = 1 if style == "drawing" else 3
+
+    tmod = _torch_modnet()
+    for m in tmod.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.uniform_(-0.3, 0.3)
+            m.running_var.uniform_(0.5, 2.0)
+    tmod.eval()
+    mod_sd = {k: v.detach().numpy() for k, v in tmod.state_dict().items()}
+    tflow = _torch_flowunet(input_nc=136, nf=4, num_scale=3,
+                            max_nf=64).eval()
+    flow_sd = {k: v.detach().numpy()
+               for k, v in tflow.state_dict().items()}
+
+    from torch_replicas import make_small_trident_torch
+
+    tG = make_small_trident_torch(ngf=8, nb=3, size=256, div=3, disp=3,
+                                  output_nc=nc).eval()
+    g_sd = {k: v.detach().numpy() for k, v in tG.state_dict().items()}
+
+    static_v = None
+    cartoon_v = None
+    static_small = None
+    cartoon_small = None
+    if style == "drawing":
+        from torch_replicas import make_small_style2_torch
+
+        tS = make_small_style2_torch(ngf=8, nb=2, output_nc=1).eval()
+        s_sd = {k: v.detach().numpy() for k, v in tS.state_dict().items()}
+        static_v = load_style2_params(s_sd, n_blocks=2)
+        static_small = ResnetStyle2Generator(ngf=8, n_blocks=2)
+
+        def static_fn(real_A):
+            style_B = torch.tensor([0.0, 1.0, 0.0]).view(
+                1, 3, 1, 1).repeat(1, 1, 128, 128)
+            a512 = F.interpolate(real_A, size=(512, 512), mode="bilinear",
+                                 align_corners=False)
+            s512 = tS(a512, style_B)
+            return F.interpolate(s512, size=(256, 256), mode="bilinear",
+                                 align_corners=False)
+    else:
+        from test_photo2cartoon import _torch_p2c
+
+        from animateportrait_tpu.models.photo2cartoon import (
+            Photo2CartoonGenerator, load_photo2cartoon_params)
+
+        tC = _torch_p2c(ngf=8).eval()
+        c_sd = {k: v.detach().numpy() for k, v in tC.state_dict().items()}
+        cartoon_v = load_photo2cartoon_params(c_sd)
+        cartoon_small = Photo2CartoonGenerator(ngf=8)
+
+        def static_fn(real_A):
+            # Photo2Cartoon.inference2 (photo2cartoon.py:569-600): uint8
+            # round trip, /127.5-1, genA2B
+            a = np.transpose(real_A[0].numpy(), (1, 2, 0))
+            a = ((a + 1) * 127.5).astype(np.uint8)
+            face = torch.from_numpy(np.transpose(
+                a[None].astype(np.float32) / 127.5 - 1, (0, 3, 1, 2)))
+            return tC(face)[0]
+
+    variables = RendererVariables(
+        generator=load_trident_full_ifw_params(g_sd, n_blocks=3, div=3,
+                                               disp=3),
+        flowunet=load_flowunet_params(flow_sd, num_scale=3),
+        modnet=load_modnet_params(mod_sd),
+        static_drawing=static_v, photo2cartoon=cartoon_v)
+    renderer = Module2Renderer(
+        variables, style=style, output_nc=nc, ngf=8, n_blocks=3, div=3,
+        disp=3, frame_batch=1,
+        flowunet=FlowUnet(nf=4, num_scale=3, max_nf=64),
+        static_g=static_small, cartoon_g=cartoon_small)
+    return tmod, tflow, tG, static_fn, renderer
+
+
+def _run_style(style, rng):
+    from animateportrait_tpu.pipeline.render import draw_landmarks
+
+    tmod, tflow, tG, static_fn, renderer = _build_shared(style, rng)
+
+    photo = _smooth_photo(rng)
+    a68 = _face_landmarks()
+    tb68 = a68 + rng.uniform(-3, 3, a68.shape).astype(np.float32)
+
+    a_img = draw_landmarks(256, 256, a68)
+    tb_img = draw_landmarks(256, 256, tb68)
+    motion_ref = _cal_motion256(a68, tb68)[None]
+    ref = _torch_composed_forward(
+        tmod, static_fn, tG, tflow, _nchw(photo[None]), _nchw(a_img[None]),
+        _nchw(tb_img[None]), a68, tb68)
+    ref = _nhwc(ref)
+
+    # (1) strict composition parity: same warp grid on both sides — this
+    # fails if ANY stage's composition (matte/static/flow/G/blend) drifts
+    ours_refgrid = renderer(photo, a68, tb68[None], motions=motion_ref)
+    psnr = _psnr(ours_refgrid, ref)
+    assert psnr >= 40.0, f"{style}: composed chain PSNR {psnr:.1f} dB < 40"
+
+    # (2) TPS-substitution characterization: our on-device TPS replaces
+    # the reference's per-frame host scipy griddata (a documented design
+    # substitution, SURVEY §7.2 step 6). Quantify the warp disagreement
+    # in pixels — measured ~0.8 px mean / <4 px max inside the landmark
+    # hull for +-3 px landmark motion — and keep a loose whole-frame
+    # PSNR floor on the composed output (a random-weights generator
+    # amplifies sub-pixel warp differences, so PSNR here is pessimistic
+    # relative to trained weights).
+    from scipy.spatial import Delaunay
+
+    from animateportrait_tpu.ops.tps import motion_grid_from_landmarks
+
+    motion_tps = np.asarray(motion_grid_from_landmarks(
+        jnp.asarray(a68[None]), jnp.asarray(tb68[None]), 256))[0]
+    dpx = np.abs(motion_tps - motion_ref[0]) * 127.5
+    hull = Delaunay(tb68)
+    ys, xs = np.mgrid[0:256, 0:256]
+    inside = (hull.find_simplex(
+        np.stack([xs.ravel(), ys.ravel()], 1)) >= 0).reshape(256, 256)
+    assert dpx[inside].mean() < 1.5, dpx[inside].mean()
+    assert dpx[inside].max() < 6.0, dpx[inside].max()
+    assert dpx.mean() < 3.0, dpx.mean()
+
+    ours_tps = renderer(photo, a68, tb68[None])
+    psnr_tps = _psnr(ours_tps, ref)
+    assert psnr_tps >= 18.0, (
+        f"{style}: TPS-substituted chain PSNR {psnr_tps:.1f} dB")
+    return psnr, psnr_tps
+
+
+@pytest.mark.slow
+def test_composed_drawing_parity(rng):
+    _run_style("drawing", rng)
+
+
+@pytest.mark.slow
+def test_composed_cartoon_parity(rng):
+    _run_style("cartoon", rng)
