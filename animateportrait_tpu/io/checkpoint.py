@@ -41,17 +41,31 @@ class CheckpointManager:
                  save_interval_steps: int = 1):
         import orbax.checkpoint as ocp
 
+        self._dir = os.path.abspath(directory)
         self._mgr = ocp.CheckpointManager(
-            os.path.abspath(directory),
+            self._dir,
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep,
                 save_interval_steps=save_interval_steps),
         )
+        self._iter_mgr = None
 
-    def save(self, step: int, state: Any) -> bool:
+    def save(self, step: int, state: Any, force: bool = False,
+             keep: bool = False) -> bool:
+        """force: save even off the save_interval cadence (the
+        save_latest_freq path, train.py:48-55); keep: also persist under
+        iters/ with no pruning (--save_by_iter)."""
         import orbax.checkpoint as ocp
 
-        ok = self._mgr.save(step, args=ocp.args.StandardSave(state))
+        if keep:
+            if self._iter_mgr is None:
+                self._iter_mgr = ocp.CheckpointManager(
+                    os.path.join(self._dir, "iters"),
+                    options=ocp.CheckpointManagerOptions(max_to_keep=None))
+            self._iter_mgr.save(step, args=ocp.args.StandardSave(state))
+            self._iter_mgr.wait_until_finished()
+        ok = self._mgr.save(step, args=ocp.args.StandardSave(state),
+                            force=force)
         self._mgr.wait_until_finished()
         return ok
 

@@ -618,6 +618,35 @@ def build_train_step(cfg: Module2Config):
             g_opt=g_opt, d_opt=d_opt, pool=pool, pool_count=count)
         return new_state, metrics
 
+    def visuals_fn(state: TrainState, batch, frozen: FrozenNets):
+        """Dashboard snapshot (no gradients): current-G images plus the
+        MobileFaceNet-detected landmarks of the fakes for the
+        detected-vs-target overlay self-check images
+        (`fake_B_lm_68_vis`/`_vist`, geomgm_ifw_fore_model.py:722-731).
+
+        Returns (visual images dict, aux dict with fb_lm/fb2_lm detected
+        landmarks and the target landmark sets + face windows).
+        """
+        shared = forward_shared(batch, frozen)
+        fake_B, fake_B2 = g_forward(state.g_params, batch, shared)
+        fb_lm = extract_landmarks(
+            _cast(frozen.mobilefacenet), _cast(fake_B), batch["winB"],
+            cfg.crop_size).astype(jnp.float32)
+        fb2_lm = extract_landmarks(
+            _cast(frozen.mobilefacenet), _cast(fake_B2), batch["winB2"],
+            cfg.crop_size).astype(jnp.float32)
+        visuals = dict(
+            real_A=batch["real_A"], real_B=batch["real_B"],
+            A_lm=batch["A_lm"], tB_lm=batch["tB_lm"],
+            fakeB_static=shared["fakeB_static"],
+            fake_B=fake_B, fake_B2=fake_B2)
+        aux = dict(fb_lm=fb_lm, fb2_lm=fb2_lm,
+                   tb_lm=batch["tB_lm_68"][:, :68],
+                   tb2_lm=batch["tB2_lm_68"][:, :68],
+                   winB=batch["winB"], winB2=batch["winB2"])
+        return visuals, aux
+
+    train_step.visuals_fn = visuals_fn
     return train_step
 
 

@@ -107,7 +107,9 @@ def main(argv=None):
     # donate the train state so XLA reuses its buffers in place — the
     # state is hundreds of arrays and re-allocating it every step costs
     # real time (and doubles peak memory) on TPU
-    step_fn = jax.jit(m2.build_train_step(cfg), donate_argnums=(0,))
+    raw_step = m2.build_train_step(cfg)
+    step_fn = jax.jit(raw_step, donate_argnums=(0,))
+    vis_fn = jax.jit(raw_step.visuals_fn) if args.display_freq else None
 
     state = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), state)
     frozen = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl),
@@ -181,6 +183,29 @@ def main(argv=None):
                 logger.log(epoch, step, metrics, t_comp, t_data)
             else:
                 timer.step_done()
+            if vis_fn is not None and step % args.display_freq == 0:
+                from animateportrait_tpu.utils.observe import (
+                    draw_lm_overlay)
+
+                vis, aux = jax.device_get(vis_fn(state, batch, frozen))
+                vis["fake_B_lm_68_vis"] = draw_lm_overlay(
+                    vis["fake_B"], aux["fb_lm"], aux["winB"])
+                vis["fake_B_lm_68_vist"] = draw_lm_overlay(
+                    vis["fake_B"], aux["tb_lm"], aux["winB"])
+                vis["fake_B2_lm_68_vis"] = draw_lm_overlay(
+                    vis["fake_B2"], aux["fb2_lm"], aux["winB2"])
+                vis["fake_B2_lm_68_vist"] = draw_lm_overlay(
+                    vis["fake_B2"], aux["tb2_lm"], aux["winB2"])
+                logger.save_visuals(
+                    vis, epoch, iters=step,
+                    update_html=(not args.no_html
+                                 and step % args.update_html_freq == 0))
+            if args.save_latest_freq and step % args.save_latest_freq == 0:
+                # reference saves latest_net_* every save_latest_freq
+                # (train.py:48-55); with --save_by_iter every such save
+                # is kept as its own step instead of being pruned
+                ckpt.save(step, jax.device_get(state), force=True,
+                          keep=args.save_by_iter)
             if args.max_steps and step >= args.max_steps:
                 stop_evt.set()
                 ckpt.save(step, jax.device_get(state))

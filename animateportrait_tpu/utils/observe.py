@@ -29,6 +29,7 @@ class LossLogger:
             now = time.strftime("%c")
             f.write(f"================ Training Loss ({now}) ================\n")
         self._t_last = time.time()
+        self._snapshots: list = []
 
     def log(self, epoch: int, iters: int, losses: dict,
             t_comp: float | None = None, t_data: float | None = None):
@@ -47,13 +48,25 @@ class LossLogger:
                 {"epoch": epoch, "iters": iters,
                  **{k: float(v) for k, v in losses.items()}}) + "\n")
 
-    def save_visuals(self, visuals: dict, epoch: int):
-        """Image snapshot gallery: <dir>/web/images + index.html
-        (visualizer.py:107-143 without the visdom server)."""
+    def save_visuals(self, visuals: dict, epoch: int,
+                     iters: int | None = None, update_html: bool = True,
+                     max_snapshots: int = 50):
+        """Image snapshot gallery: <dir>/web/images + index.html.
+
+        Reference visualizer parity (visualizer.py:107-143 + util/html.py,
+        no visdom server): each call saves one labeled snapshot row; the
+        HTML index lists snapshots newest-first like the reference's
+        epoch-header gallery. ``iters`` distinguishes mid-epoch snapshots
+        (display_freq cadence); ``update_html`` gates the index rewrite
+        (update_html_freq / --no_html)."""
         import cv2
 
         img_dir = os.path.join(self.dir, "web", "images")
         os.makedirs(img_dir, exist_ok=True)
+        tag = (f"epoch{epoch:03d}_iter{iters:07d}" if iters is not None
+               else f"epoch{epoch:03d}")
+        title = (f"epoch [{epoch}] iters [{iters}]" if iters is not None
+                 else f"epoch [{epoch}]")
         rows = []
         for label, img in visuals.items():
             arr = np.asarray(img)
@@ -63,17 +76,70 @@ class LossLogger:
                 arr = np.clip((arr + 1.0) * 127.5, 0, 255).astype(np.uint8)
             if arr.shape[-1] == 1:
                 arr = np.repeat(arr, 3, axis=-1)
-            fn = f"epoch{epoch:03d}_{label}.png"
+            fn = f"{tag}_{label}.png"
             cv2.imwrite(os.path.join(img_dir, fn), arr[:, :, ::-1])
             rows.append((label, fn))
+        self._snapshots.append((title, rows))
+        del self._snapshots[:-max_snapshots]
+        if update_html:
+            self.write_html_index()
+
+    def write_html_index(self):
+        """(Re)write <dir>/web/index.html with all snapshots, newest
+        first (util/html.py gallery equivalent)."""
         index = os.path.join(self.dir, "web", "index.html")
+        os.makedirs(os.path.dirname(index), exist_ok=True)
         with open(index, "w") as f:
-            f.write("<html><body><h1>Results</h1>\n")
-            f.write(f"<h3>epoch [{epoch}]</h3><table><tr>\n")
-            for label, fn in rows:
-                f.write(f"<td><p>{label}</p>"
-                        f"<img src='images/{fn}' width=256></td>\n")
-            f.write("</tr></table></body></html>\n")
+            f.write("<html><body><h1>Training results</h1>\n")
+            for title, rows in reversed(self._snapshots):
+                f.write(f"<h3>{title}</h3><table><tr>\n")
+                for label, fn in rows:
+                    f.write(f"<td><p>{label}</p>"
+                            f"<img src='images/{fn}' width=256></td>\n")
+                f.write("</tr></table>\n")
+            f.write("</body></html>\n")
+
+
+def draw_lm_overlay(img, lm, win=None, hradius: int = 2) -> np.ndarray:
+    """Landmark-overlay self-check image (`fake_B_lm_68_vis`/`_vist`):
+    red squares at each landmark plus the face-window rectangle, drawn the
+    reference way (channel 0 := 1, others := -1 in +-hradius windows;
+    geomgm_ifw_fore_model.py get_lmvis / geomcgt_ifw_test_model.py:228-252).
+
+    img: (H, W, C) or (N, H, W, C) in [-1, 1] (first item used);
+    lm: (68, 2) or (N, 68, 2) (x, y) pixels; win: (4,) or (N, 4)
+    [x1, x2, y1, y2]. Returns (H, W, 3) float in [-1, 1].
+    """
+    a = np.asarray(img, np.float32)
+    if a.ndim == 4:
+        a = a[0]
+    if a.shape[-1] == 1:
+        a = np.repeat(a, 3, axis=-1)
+    out = a.copy()
+    H, W = out.shape[:2]
+    L = np.asarray(lm)
+    if L.ndim == 3:
+        L = L[0]
+
+    def mark(y0, y1, x0, x1):
+        y0, y1 = max(0, y0), min(H, y1)
+        x0, x1 = max(0, x0), min(W, x1)
+        if y0 < y1 and x0 < x1:
+            out[y0:y1, x0:x1, 0] = 1.0
+            out[y0:y1, x0:x1, 1:] = -1.0
+
+    for k in range(L.shape[0]):
+        x = int(round(float(L[k, 0])))
+        y = int(round(float(L[k, 1])))
+        mark(y - hradius, y + hradius, x - hradius, x + hradius)
+    if win is not None:
+        w = np.asarray(win).reshape(-1, 4)[0].astype(int)
+        x1, x2, y1, y2 = w
+        mark(y1 - hradius, y1 + hradius, x1 - hradius, x2 + hradius)
+        mark(y2 - hradius, y2 + hradius, x1 - hradius, x2 + hradius)
+        mark(y1 - hradius, y2 + hradius, x1 - hradius, x1 + hradius)
+        mark(y1 - hradius, y2 + hradius, x2 - hradius, x2 + hradius)
+    return out
 
 
 @contextlib.contextmanager

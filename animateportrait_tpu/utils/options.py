@@ -66,6 +66,18 @@ def build_train_argparser() -> argparse.ArgumentParser:
     p.add_argument("--epoch", default="latest")
     p.add_argument("--save_epoch_freq", type=int, default=5)
     p.add_argument("--print_freq", type=int, default=100)
+    # visual-dashboard / latest-save cadence (train_options.py:13-24)
+    p.add_argument("--display_freq", type=int, default=400,
+                   help="steps between visual snapshots (0 = off)")
+    p.add_argument("--update_html_freq", type=int, default=1000,
+                   help="steps between HTML gallery refreshes")
+    p.add_argument("--no_html", action="store_true",
+                   help="do not write <ckpt>/<name>/web/ galleries")
+    p.add_argument("--save_latest_freq", type=int, default=5000,
+                   help="steps between latest-state checkpoints (0 = off)")
+    p.add_argument("--save_by_iter", action="store_true",
+                   help="keep every latest-save as its own step instead "
+                   "of pruning to the most recent few")
     # model-injected flags (geomgm_ifw_fore_model.py:162-209)
     p.add_argument("--lambda_geom", type=float, default=5.0)
     p.add_argument("--lambda_geom_lipline", type=float, default=0.0)
