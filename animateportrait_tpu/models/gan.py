@@ -135,15 +135,73 @@ class OutConv7(nn.Module):
     """
 
     features: int
+    block: int = 8
 
     @nn.compact
     def __call__(self, x):
         N, Hp, Wp, C = x.shape
         H, W = Hp - 6, Wp - 6
+        f = self.features
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (7, 7, C, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
+        blk = self.block
+        if H % blk or W % blk:
+            return self._fallback(x, kernel, bias, H, W)
+
+        # Space-to-depth packed conv: the (7,7,C,f) conv becomes a
+        # (2,2, blk*blk*C, blk*blk*f) conv on the blk-blocked image —
+        # every output lane is a real output pixel phase, so the MXU runs
+        # full-width instead of wasting 127/128 lanes on a 1-channel
+        # output. The earlier 1x1-contraction + 49-shifted-slice-sum
+        # decomposition collapses to ~50 GB/s inside the full model
+        # (XLA materializes the lane-strided slices); this form measures
+        # as an ordinary compute-bound conv.
+        #   out[8Y+py, 8X+px] = sum_{ky,kx,by,bx,c}
+        #       xblk[Y+ky, X+kx, (by,bx,c)] * w[blk*ky+by-py,
+        #                                       blk*kx+bx-px, c]
+        hb = H // blk + 1
+        wb = W // blk + 1
+        xp = jnp.pad(x, ((0, 0), (0, hb * blk - Hp), (0, wb * blk - Wp),
+                         (0, 0)))
+        xb = xp.reshape(N, hb, blk, wb, blk, C).transpose(
+            0, 1, 3, 2, 4, 5).reshape(N, hb, wb, blk * blk * C)
+
+        # packed kernel built from the 7x7 param with static index maps
+        ky, by, py = np.meshgrid(np.arange(2), np.arange(blk),
+                                 np.arange(blk), indexing="ij")
+        d = blk * ky + by - py  # (2, blk, blk)
+        valid = ((d >= 0) & (d <= 6))
+        dc = np.clip(d, 0, 6)
+        # k[dy, dx, c, f] -> pk[(ky,kx), (by,bx,c), (py,px,f)] via two
+        # static gathers along the tap axes + validity masks
+        kd = kernel.astype(x.dtype)
+        vj = jnp.asarray(valid, x.dtype)
+        kd1 = jnp.take(kd, jnp.asarray(dc.reshape(-1)), axis=0)
+        kd1 = kd1.reshape(2, blk, blk, 7, C, f)  # [ky,by,py, dx, c, f]
+        kd1 = kd1 * vj[..., None, None, None]
+        kd2 = jnp.take(kd1, jnp.asarray(dc.reshape(-1)), axis=3)
+        kd2 = kd2.reshape(2, blk, blk, 2, blk, blk, C, f)
+        kd2 = kd2 * vj[:, :, :, None, None]  # mask over (kx, bx, px)
+        # [ky,by,py, kx,bx,px, c, f] -> (ky,kx, by,bx,c, py,px,f)
+        pk = kd2.transpose(0, 3, 1, 4, 6, 2, 5, 7).reshape(
+            2, 2, blk * blk * C, blk * blk * f)
+        # No preferred_element_type: its conv transpose rule rejects
+        # mixed (bf16 input, f32 cotangent) under grad, and on TPU the
+        # MXU accumulates in f32 internally either way (one rounding at
+        # the output).
+        out = jax.lax.conv_general_dilated(
+            xb, pk, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        out = out.reshape(N, H // blk, W // blk, blk, blk, f).transpose(
+            0, 1, 3, 2, 4, 5).reshape(N, H, W, f)
+        return (out.astype(jnp.float32) + bias).astype(x.dtype)
+
+    def _fallback(self, x, kernel, bias, H, W):
+        """1x1 contraction + 49-tap shifted-slice sum (used when the
+        output size is not a multiple of the pack block)."""
+        N, Hp, Wp, C = x.shape
         kmat = kernel.astype(x.dtype).transpose(2, 0, 1, 3).reshape(
             C, 49 * self.features)
         z = jax.lax.dot_general(

@@ -79,6 +79,58 @@ def draw_landmarks(height: int, width: int, lands: np.ndarray,
     raise ValueError(f"op {op}")
 
 
+_DISC_HW_CACHE: dict[int, np.ndarray] = {}
+
+
+def _cv2_disc_halfwidths(radius: int = 3) -> np.ndarray:
+    """Per-row half-widths of cv2's filled-circle rasterization (so the
+    on-device rasterizer reproduces cv2.circle exactly, row by row)."""
+    if radius not in _DISC_HW_CACHE:
+        import cv2
+
+        c = radius + 3
+        img = np.zeros((2 * c + 1, 2 * c + 1), np.uint8)
+        cv2.circle(img, (c, c), radius, 255, -1)
+        hw = []
+        for dy in range(-radius, radius + 1):
+            xs = np.where(img[c + dy] > 0)[0]
+            hw.append(int(xs.max() - c) if len(xs) else -1)
+        _DISC_HW_CACHE[radius] = np.asarray(hw, np.int32)
+    return _DISC_HW_CACHE[radius]
+
+
+def landmark_dot_images(lm68: jax.Array, size: int,
+                        radius: int = 3) -> jax.Array:
+    """On-device rasterization of the draw2 op=0 dot images
+    (umlvdfw_test_dataset.py:34-48): cv2.circle-exact via the measured
+    per-row disc half-widths.
+
+    The union-of-discs mask is built as 7 batched (H,68)x(68,W) matmuls —
+    one per disc row offset dy: pixel (y,x) is inside landmark k's disc
+    iff y == round(yk)+dy and |x - round(xk)| <= halfwidth(dy) — which
+    keeps the whole rasterization on the MXU instead of shipping
+    half-megabyte images through host->device transfer per frame batch.
+
+    lm68: (B, 68, 2) float (x, y); returns (B, size, size, 1) in [-1, 1].
+    """
+    hw = _cv2_disc_halfwidths(radius)
+    lm = jnp.round(lm68).astype(jnp.int32)  # np.round-then-int like draw2
+    xs = jnp.arange(size, dtype=jnp.int32)
+    acc = None
+    for i, dy in enumerate(range(-radius, radius + 1)):
+        if hw[i] < 0:
+            continue
+        rowhit = (xs[None, :, None]
+                  == (lm[:, None, :, 1] + dy)).astype(jnp.float32)
+        colhit = (jnp.abs(xs[None, :, None] - lm[:, None, :, 0])
+                  <= int(hw[i])).astype(jnp.float32)
+        # (B, H, 68) @ (B, 68, W) -> per-dy coverage counts
+        m = jnp.einsum("bhk,bwk->bhw", rowhit, colhit)
+        acc = m if acc is None else acc + m
+    frame = (acc > 0).astype(jnp.float32)[..., None]
+    return frame * 2.0 - 1.0
+
+
 def test_window(load_size: int = 256, rx: float = 0.15, ry: float = 0.2,
                 rs: float = 0.7) -> np.ndarray:
     """Face window [x1, x2, y1, y2] for the no-crop test transform
@@ -190,8 +242,8 @@ class Module2Renderer:
         return photo_fore, mask, fake_static
 
     # --- per frame batch ---
-    def _frames(self, nets, photo_fore, mask, fake_static, a_lm_img,
-                a_lm68, tb_lm_imgs, tb_lm68s, motions=None):
+    def _frames(self, nets, photo_fore, mask, fake_static,
+                a_lm68, tb_lm68s, motions=None):
         B = tb_lm68s.shape[0]
         cs = self.crop_size
         if motions is None:
@@ -201,10 +253,11 @@ class Module2Renderer:
             # reference's scipy-griddata grid for exact-parity runs.)
             motions = motion_grid_from_landmarks(
                 jnp.broadcast_to(a_lm68, tb_lm68s.shape), tb_lm68s, cs)
-        if tb_lm_imgs.dtype == jnp.uint8:
-            # landmark images cross host->device as uint8 (4x less
-            # transfer); same (v/255)*2-1 mapping as draw_landmarks
-            tb_lm_imgs = tb_lm_imgs.astype(jnp.float32) / 255.0 * 2 - 1
+        # landmark dot images rasterized ON DEVICE from the 68 coords
+        # (cv2-exact): only 68x2 floats cross the host->device link per
+        # frame instead of a 64 KB image
+        a_lm_img = landmark_dot_images(a_lm68, cs)
+        tb_lm_imgs = landmark_dot_images(tb_lm68s, cs)
 
         def flow_for(lm2):
             j1 = kp_to_map_binary((224, 224), a_lm68[0] * (7.0 / 8.0))
@@ -265,8 +318,6 @@ class Module2Renderer:
         a68 = jnp.asarray(a_lm68, jnp.float32)[None]
         prep = self._prep_jit(self._prep_nets, photo)
 
-        a_lm_img = jnp.asarray(
-            draw_landmarks(cs, cs, np.asarray(a_lm68)), jnp.float32)[None]
         T = tb_lm68s.shape[0]
         fb = self.frame_batch
         outs = []
@@ -279,16 +330,10 @@ class Module2Renderer:
             mo_p = np.concatenate(
                 [motions, np.repeat(motions[-1:], pad, 0)],
                 0) if pad else np.asarray(motions)
-        tb_imgs = np.stack([draw_landmarks(cs, cs, lm) for lm in tb68_p])
-        # ship landmark rasters as uint8 (exact: they're (v/255)*2-1 of
-        # a uint8 buffer); _frames converts on device
-        tb_imgs_u8 = np.clip(np.rint((tb_imgs + 1.0) * 127.5), 0,
-                             255).astype(np.uint8)
         for j in range(0, tb68_p.shape[0], fb):
             lm_batch = jnp.asarray(tb68_p[j: j + fb], jnp.float32)
             out = self._frames_jit(
-                self._frame_nets, *prep, a_lm_img, a68,
-                jnp.asarray(tb_imgs_u8[j: j + fb]), lm_batch,
+                self._frame_nets, *prep, a68, lm_batch,
                 None if mo_p is None else jnp.asarray(
                     mo_p[j: j + fb], jnp.float32))
             # keep the device array and start its host copy in the
