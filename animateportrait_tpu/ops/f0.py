@@ -86,40 +86,77 @@ def track_f0(
     denom = jnp.sqrt(jnp.maximum(e0 * ek, 1e-12))
     nccf = corr / denom  # (T, L+1)
 
-    # restrict to valid lag band; pick with RAPT's short-lag bias
-    # (LAG_WT ~ 0.3) so period-doubled peaks of harmonic-rich frames
-    # don't win ties — a periodic signal correlates equally at T and 2T
+    # ---- candidate set: top-K NCCF local maxima inside the lag band
+    # (RAPT keeps up to 20 candidates per frame; K=8 covers real speech)
+    K = 8
     band = (lags_all >= lag_min) & (lags_all <= lag_max)
-    lag_wt = 0.3
-    score = nccf - lag_wt * (lags_all[None, :] / lag_max)
-    score_b = jnp.where(band[None, :], score, -jnp.inf)
-    k_star = jnp.argmax(score_b, axis=1)  # (T,)
-    # voicing uses the RAW nccf value at the chosen lag
-    peak = jnp.take_along_axis(nccf, k_star[:, None], axis=1)[:, 0]
+    left = jnp.pad(nccf[:, :-1], ((0, 0), (1, 0)),
+                   constant_values=-jnp.inf)
+    right = jnp.pad(nccf[:, 1:], ((0, 0), (0, 1)),
+                    constant_values=-jnp.inf)
+    is_max = (nccf >= left) & (nccf >= right) & band[None, :]
+    cand_score = jnp.where(is_max, nccf, -jnp.inf)
+    cvals, cidx = jax.lax.top_k(cand_score, K)  # (T, K)
+    have = jnp.isfinite(cvals)
+    cvals = jnp.where(have, cvals, 0.0)
 
-    # parabolic sub-lag refinement around the peak
-    km = jnp.clip(k_star - 1, 0, lag_max)
-    kp = jnp.clip(k_star + 1, 0, lag_max)
-    ym = jnp.take_along_axis(nccf, km[:, None], axis=1)[:, 0]
-    y0 = jnp.take_along_axis(nccf, k_star[:, None], axis=1)[:, 0]
-    yp = jnp.take_along_axis(nccf, kp[:, None], axis=1)[:, 0]
+    # parabolic sub-lag refinement per candidate
+    km = jnp.clip(cidx - 1, 0, lag_max)
+    kp = jnp.clip(cidx + 1, 0, lag_max)
+    ym = jnp.take_along_axis(nccf, km, axis=1)
+    y0 = jnp.take_along_axis(nccf, jnp.clip(cidx, 0, lag_max), axis=1)
+    yp = jnp.take_along_axis(nccf, kp, axis=1)
     denom2 = ym - 2.0 * y0 + yp
     delta = jnp.where(jnp.abs(denom2) > 1e-8,
                       0.5 * (ym - yp) / denom2, 0.0)
     delta = jnp.clip(delta, -0.5, 0.5)
-    lag_ref = k_star.astype(jnp.float32) + delta
+    clag = jnp.maximum(cidx.astype(jnp.float32) + delta, 1.0)
 
-    # 3-tap median smoothing of the lag track
-    lag_pad = jnp.concatenate([lag_ref[:1], lag_ref, lag_ref[-1:]])
-    stacked = jnp.stack([lag_pad[:-2], lag_pad[1:-1], lag_pad[2:]], axis=0)
-    lag_med = jnp.median(stacked, axis=0)
-
-    # voicing: NCCF peak above threshold and non-trivial energy
+    # voicing: strongest candidate above threshold and non-trivial energy
+    # (independent of the tracked lag, like the greedy pick's test)
+    peak = cvals[:, 0]
     frame_rms = jnp.sqrt(e0[:, 0] / win)
     sig_rms = jnp.sqrt(jnp.mean(x * x) + 1e-12)
     voiced = (peak > nccf_thresh) & (frame_rms > 0.05 * sig_rms)
 
-    f0 = sr / jnp.maximum(lag_med, 1.0)
+    # ---- Viterbi over the K candidates (RAPT's DP, lax.scan form):
+    # local cost 1 - C*(1 - LAG_WT*lag/lag_max); voiced->voiced
+    # transition FREQ_WT*min(|d|, DOUBL_C + ||d| - ln2|) on the log-lag
+    # jump d, so octave flips pay a fixed penalty instead of winning on
+    # raw correlation. Continuity is only enforced across voiced frames.
+    lag_wt, freq_wt, doubl_c = 0.3, 0.02, 0.35
+    local = jnp.where(
+        have, 1.0 - cvals * (1.0 - lag_wt * clag / lag_max), 1e3)
+    loglag = jnp.log(clag)
+    ln2 = float(np.log(2.0))
+
+    def vit_step(carry, inp):
+        prev_cost, prev_loglag, prev_voiced = carry
+        loc_t, ll_t, v_t = inp
+        d = jnp.abs(ll_t[:, None] - prev_loglag[None, :])  # (K, K)
+        tc = freq_wt * jnp.minimum(d, doubl_c + jnp.abs(d - ln2))
+        tc = tc * (prev_voiced & v_t).astype(tc.dtype)
+        tot = prev_cost[None, :] + tc
+        bp = jnp.argmin(tot, axis=1)
+        cost = loc_t + jnp.min(tot, axis=1)
+        cost = cost - jnp.min(cost)  # keep costs bounded over long tracks
+        return (cost, ll_t, v_t), bp
+
+    init = (local[0], loglag[0], voiced[0])
+    (last_cost, _, _), bps = jax.lax.scan(
+        vit_step, init, (local[1:], loglag[1:], voiced[1:]))
+
+    # backtrack: bps[t] maps the state at frame t+1 to its best
+    # predecessor at frame t
+    def back_step(state, bp_t):
+        return bp_t[state], state
+
+    end_state = jnp.argmin(last_cost)
+    first_state, rev_states = jax.lax.scan(back_step, end_state, bps[::-1])
+    states = jnp.concatenate([first_state[None], rev_states[::-1]])
+    lag_trk = jnp.take_along_axis(clag, states[:, None], axis=1)[:, 0]
+
+    f0 = sr / jnp.maximum(lag_trk, 1.0)
     f0 = jnp.clip(f0, lo, hi)
     logf0 = jnp.where(voiced, jnp.log(f0), -1e10)
     return logf0, voiced
