@@ -153,6 +153,76 @@ def test_pool_query_semantics(rng):
     assert got_history
 
 
+@pytest.mark.slow
+def test_pool_query_distribution_matches_reference_pool():
+    """Empirical distribution check of the batched pool against a NumPy
+    port of the reference's sequential ImagePool (image_pool.py:23-54):
+    same history-return rate and the same (geometric) age profile of
+    returned history images. The documented deviation — later-write-wins
+    on intra-batch slot collisions vs sequential swaps — must not shift
+    either distribution measurably."""
+    import random as pyrandom
+
+    from animateportrait_tpu.train.module2 import pool_query
+
+    B, P, STEPS, H = 4, 16, 1500, 2
+
+    # --- reference port on scalar ids (image value = insertion step)
+    pyrandom.seed(0)
+    pool_ref: list[float] = []
+    ref_hist_returns = []  # (query step, age of returned image)
+    n_hist_ref = 0
+    uid = 0.0
+    for t in range(STEPS):
+        for _ in range(B):
+            uid += 1.0
+            if len(pool_ref) < P:
+                pool_ref.append(uid)
+            else:
+                if pyrandom.uniform(0, 1) > 0.5:
+                    rid = pyrandom.randint(0, P - 1)
+                    n_hist_ref += 1
+                    ref_hist_returns.append(uid - pool_ref[rid])
+                    pool_ref[rid] = uid
+    full_queries_ref = STEPS * B - P
+
+    # --- ours, same shape of experiment
+    pool = jnp.zeros((P, H, H, 1))
+    count = jnp.zeros((), jnp.int32)
+    n_hist = 0
+    hist_ages = []
+    uid = 0.0
+    for t in range(STEPS):
+        imgs = jnp.full((B, H, H, 1), 0.0).at[:, 0, 0, 0].set(
+            jnp.arange(uid + 1, uid + B + 1, dtype=jnp.float32))
+        pool, count, out = pool_query(pool, count, imgs,
+                                      jax.random.key(t))
+        o = np.asarray(out)[:, 0, 0, 0]
+        ids = np.asarray(imgs)[:, 0, 0, 0]
+        hist = o != ids
+        n_hist += int(hist.sum())
+        hist_ages.extend((ids[hist] - o[hist]).tolist())
+        uid += B
+    full_queries = STEPS * B - P
+
+    # history-return rate ~0.5 once full, both pools
+    rate_ref = n_hist_ref / full_queries_ref
+    rate = n_hist / full_queries
+    assert abs(rate_ref - 0.5) < 0.03, rate_ref
+    assert abs(rate - rate_ref) < 0.03, (rate, rate_ref)
+
+    # age profile of returned history: replacement is uniform over
+    # slots in both, so mean age and tail mass must agree
+    a_ref = np.asarray(ref_hist_returns, np.float64)
+    a = np.asarray(hist_ages, np.float64)
+    assert a.size > 1000 and a_ref.size > 1000
+    assert abs(np.mean(a) - np.mean(a_ref)) / np.mean(a_ref) < 0.15, \
+        (np.mean(a), np.mean(a_ref))
+    q = [0.25, 0.5, 0.75, 0.9]
+    qa, qr = np.quantile(a, q), np.quantile(a_ref, q)
+    assert np.all(np.abs(qa - qr) / qr < 0.25), (qa, qr)
+
+
 @pytest.mark.parametrize("policy", ["linear", "step", "plateau", "cosine"])
 def test_lr_policy_matches_torch_schedulers(policy):
     """Our per-step lr schedule vs torch's get_scheduler equivalents
