@@ -20,6 +20,49 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from animateportrait_tpu.nn import ConvTranspose2dTorch, interpolate_bilinear
+from animateportrait_tpu.ops.pack import s2d_conv_same, s2d_conv_stride2
+
+
+class _Stride2Conv(nn.Module):
+    """Parameter-identical drop-in for ``nn.Conv(features, (k, k),
+    strides=2, padding=k//2, use_bias=False)`` computed space-to-depth
+    packed (ops/pack.py) — the 16-channel stride-2 conv is otherwise
+    lane-starved on the MXU (measured 13 GB/s; see pack.py)."""
+
+    features: int
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (k, k, x.shape[-1], self.features), jnp.float32)
+        if x.shape[1] % 2 or x.shape[2] % 2:
+            return jax.lax.conv_general_dilated(
+                x, w.astype(x.dtype), (2, 2), [(k // 2, k // 2)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return s2d_conv_stride2(x, w)
+
+
+class _SameConvPacked(nn.Module):
+    """Parameter-identical drop-in for ``nn.Conv(features, (k, k),
+    padding=k//2, use_bias=False)`` with 2x2 space-to-depth packing on
+    both sides (ops/pack.py) — used for the 136->16 stem whose 16
+    output lanes waste 7/8 of every MXU pass."""
+
+    features: int
+    kernel: int = 7
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (k, k, x.shape[-1], self.features), jnp.float32)
+        if x.shape[1] % 2 or x.shape[2] % 2:
+            return jax.lax.conv_general_dilated(
+                x, w.astype(x.dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return s2d_conv_same(x, w)
 
 
 class _BN(nn.Module):
@@ -58,10 +101,9 @@ class FlowUnet(nn.Module):
     def __call__(self, x, train: bool = False):
         nf, max_nf = self.nf, self.max_nf
         # conv_downsample: 7x7 stem + log2(start_scale)=1 stride-2 conv
-        x = nn.Conv(nf, (7, 7), padding=3, use_bias=False, name="stem")(x)
+        x = _SameConvPacked(nf, name="stem")(x)
         x = nn.leaky_relu(_BN(name="stem_bn")(x, train), 0.1)
-        x = nn.Conv(nf * 2, (3, 3), strides=2, padding=1, use_bias=False,
-                    name="down_pre")(x)
+        x = _Stride2Conv(nf * 2, name="down_pre")(x)
         x = nn.leaky_relu(_BN(name="down_pre_bn")(x, train), 0.1)
         nc = nf * 2
 
