@@ -27,6 +27,7 @@ def test_trainstate_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_checkpoint_manager(tmp_path):
     from animateportrait_tpu.io.checkpoint import CheckpointManager
     from animateportrait_tpu.train.module2 import (

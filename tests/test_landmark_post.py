@@ -1,6 +1,7 @@
 """Landmark post-processing parity vs direct numpy transcriptions of the
 reference logic (train_audio2landmark.py:101-140, 235-245, 594-617)."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 
@@ -127,6 +128,7 @@ def test_revise_nose_top(rng):
         out[:, 81:84], fl[:, 84:87] * 2 - fl[:, 87:90], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_landmark_predictor_smoke(rng):
     """LandmarkPredictor end-to-end with randomly initialized branches."""
     import jax

@@ -1,6 +1,7 @@
 """MODNet parity vs a torch replica of the reference architecture
 (`Module2/models/modnet.py` + mobilenetv2 backbone) with shared weights."""
 import numpy as np
+import pytest
 import torch
 import torch.nn as tnn
 import torch.nn.functional as F
@@ -197,6 +198,7 @@ def _torch_modnet():
     return MN()
 
 
+@pytest.mark.slow
 def test_modnet_parity(rng):
     from animateportrait_tpu.models.modnet import MODNet, load_modnet_params
 

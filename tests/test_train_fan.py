@@ -1,6 +1,7 @@
 """FAN training harness: boundary/weight-map targets, one jitted step,
 NME eval (reference: AdaptiveWingLoss/core/{dataloader,evaler}.py)."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +32,7 @@ def test_weight_map_dilation():
     assert w[4, 4, 0] == 0 and w[..., 1].sum() == 0
 
 
+@pytest.mark.slow
 def test_make_targets_and_train_step_descends():
     lm = _face_landmarks(68)
     gt, w = make_fan_targets(lm)

@@ -1,5 +1,6 @@
 """Module1 trainer smoke tests: losses finite and parameters move."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +28,7 @@ def test_content_train_step(rng):
     assert not np.allclose(np.asarray(b0), np.asarray(b1))
 
 
+@pytest.mark.slow
 def test_speaker_aware_train_step(rng):
     from animateportrait_tpu.train.module1 import (
         SpeakerAwareConfig, build_speaker_aware_train_step,
