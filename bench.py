@@ -1,15 +1,22 @@
-"""Benchmark: per-frame generator throughput on the current accelerator.
+"""Benchmark: end-to-end inference throughput on the current accelerator.
 
-Measures the hot path of end-to-end inference — the trident
-landmark-conditioned generator (resnet_9blocks_rcatland32_full_ifw
-equivalent) at 256x256, the per-frame cost that dominates the reference's
-Module2/test.py loop — and reports frames/sec/chip.
+Default mode measures BASELINE.md's headline metric — photo + wav ->
+stylized frames per wall-clock second on ONE chip — by running the full
+TalkingPortraitPipeline (align -> audio features -> landmark sequence ->
+Module2 renderer) on a synthetic photo + synthetic speech with randomly
+initialized full-size nets. ``vs_baseline`` compares against the
+reference's PyTorch-CPU per-frame path measured in-process (the
+reference ships for a single CUDA GPU; none exists here — BASELINE.json's
+target is ">=20x vs the PyTorch CPU reference"): per frame the reference
+driver computes a scipy-griddata TPS warp grid (umlvdfw_test_dataset
+.py:67-81), a FlowUnet forward at 224px, the trident generator forward
+and two grid_samples — that chain is timed on a few frames and
+extrapolated.
 
-``vs_baseline`` compares against the PyTorch CPU reference generator
-measured in-process on this machine (the reference's shipped setting is a
-single CUDA GPU, but no NVIDIA GPU exists here; BASELINE.json's target is
-">=20x vs the PyTorch CPU reference"). Set BENCH_SKIP_TORCH=1 to skip the
-torch baseline and report vs_baseline=null quickly.
+Modes (env): BENCH_MODE=generator — bare trident generator forward
+(the round-1 metric); BENCH_TRAIN=1 — full Module2 GAN train step,
+steps/sec. BENCH_SKIP_TORCH=1 skips the torch baseline
+(vs_baseline=null).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -99,18 +106,12 @@ def bench_jax() -> float:
     return BATCH * chain / max(best - base, 1e-9)
 
 
-def bench_torch_cpu() -> float | None:
-    """Reference-architecture generator forward on PyTorch CPU."""
-    if os.environ.get("BENCH_SKIP_TORCH"):
-        return None
-    try:
-        import torch
-        import torch.nn as tnn
-        import torch.nn.functional as F
-    except ImportError:
-        return None
-
-    # minimal reference-equivalent trident generator (same flop structure)
+def _make_torch_trident():
+    """Minimal reference-equivalent trident generator (same flop
+    structure), torch CPU eval mode."""
+    import torch
+    import torch.nn as tnn
+    import torch.nn.functional as F
     class RB(tnn.Module):
         def __init__(self, d):
             super().__init__()
@@ -199,7 +200,19 @@ def bench_torch_cpu() -> float | None:
                 y = blk(torch.cat([y, e1, e2], 1) if i % 3 == 0 else y)
             return self.up(y)
 
-    g = G().eval()
+    return G().eval()
+
+
+def bench_torch_cpu() -> float | None:
+    """Reference-architecture generator forward on PyTorch CPU."""
+    if os.environ.get("BENCH_SKIP_TORCH"):
+        return None
+    try:
+        import torch
+    except ImportError:
+        return None
+
+    g = _make_torch_trident()
     x = torch.randn(1, 3, H, H)
     l1 = torch.randn(1, 1, H, H)
     l2 = torch.randn(1, 1, H, H)
@@ -250,6 +263,178 @@ def bench_train_step() -> float:
     return n / (time.perf_counter() - t0)
 
 
+class _StubDetector:
+    """Fixed face box + 5-pt landmarks (detection runs once per photo and
+    is not part of the per-frame cost being measured)."""
+
+    def __call__(self, img_rgb):
+        h, w = img_rgb.shape[:2]
+        box = np.array([[w * 0.25, h * 0.25, w * 0.75, h * 0.80, 0.99]])
+        cx, cy = w * 0.5, h * 0.5
+        xs = [cx - w * 0.12, cx + w * 0.12, cx, cx - w * 0.08, cx + w * 0.08]
+        ys = [cy - h * 0.08, cy - h * 0.08, cy, cy + h * 0.12, cy + h * 0.12]
+        return box, np.array([xs + ys])
+
+
+def _make_wav(seconds: float, seed: int = 0) -> np.ndarray:
+    """Speech-band synthetic audio: a wandering 110-220 Hz buzz with
+    harmonics and amplitude modulation (keeps the f0/voicing path busy)."""
+    sr = 16000
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(sr * seconds)) / sr
+    f0 = 160 + 50 * np.sin(2 * np.pi * 0.7 * t + rng.uniform(0, 6))
+    ph = 2 * np.pi * np.cumsum(f0) / sr
+    x = sum(np.sin(h * ph) / h for h in range(1, 6))
+    am = 0.55 + 0.45 * np.sin(2 * np.pi * 1.3 * t + rng.uniform(0, 6))
+    x = x * am + 0.01 * rng.standard_normal(t.shape)
+    return (0.3 * x / np.abs(x).max()).astype(np.float64)
+
+
+def bench_e2e() -> tuple[float, int]:
+    """Full pipeline photo+wav -> frames, wall-clock frames/sec/chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from animateportrait_tpu.utils.observe import enable_compile_cache
+    enable_compile_cache(os.environ.get("JAX_COMPILATION_CACHE_DIR"))
+
+    from animateportrait_tpu.models.audio2landmark import (
+        Audio2landmarkContent, Audio2landmarkPos)
+    from animateportrait_tpu.models.autovc import AutoVCGenerator
+    from animateportrait_tpu.models.flowunet import FlowUnet
+    from animateportrait_tpu.models.gan import (
+        ResnetStyle2Generator, TridentGeneratorFullIFW)
+    from animateportrait_tpu.models.modnet import MODNet
+    from animateportrait_tpu.pipeline.audio import AudioPipeline
+    from animateportrait_tpu.pipeline.end2end import TalkingPortraitPipeline
+    from animateportrait_tpu.pipeline.landmark import LandmarkPredictor
+    from animateportrait_tpu.pipeline.render import (
+        Module2Renderer, RendererVariables)
+
+    k = jax.random.key(0)
+    cs = 256
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = jax.devices()[0]
+    with jax.default_device(cpu):
+        autovc_v = AutoVCGenerator().init(
+            k, jnp.zeros((1, 32, 80)), jnp.zeros((1, 256)),
+            jnp.zeros((1, 256)), jnp.zeros((1, 32, 257)))
+        pos_v = Audio2landmarkPos().init(
+            k, jnp.zeros((4, 18, 80)), jnp.zeros((4, 256)),
+            jnp.zeros((1, 204)), jnp.zeros((4, 128)))
+        cont_v = Audio2landmarkContent().init(
+            k, jnp.zeros((4, 18, 80)), jnp.zeros((1, 204)))
+        gen_v = TridentGeneratorFullIFW(output_nc=1, ngf=64, div=3,
+                                        disp=3).init(
+            k, jnp.zeros((1, cs, cs, 3)), jnp.zeros((1, cs, cs, 1)),
+            jnp.zeros((1, cs, cs, 1)), jnp.zeros((1, cs, cs, 2)),
+            jnp.zeros((1, cs, cs, 2)), jnp.zeros((1, cs, cs, 1)))
+        flow_v = FlowUnet().init(k, jnp.zeros((1, 224, 224, 136)))
+        modnet_v = MODNet().init(k, jnp.zeros((1, cs, cs, 3)))
+        static_v = ResnetStyle2Generator().init(
+            k, jnp.zeros((1, 512, 512, 3)), jnp.zeros((1, 128, 128, 3)))
+
+    audio = AudioPipeline(autovc_v, chunk=512)
+    predictor = LandmarkPredictor(pos_v, cont_v)
+    renderer = Module2Renderer(
+        RendererVariables(generator=gen_v, flowunet=flow_v,
+                          modnet=modnet_v, static_drawing=static_v),
+        style="drawing",
+        frame_batch=int(os.environ.get("BENCH_FB", "8")),
+        use_bf16=bool(os.environ.get("BENCH_BF16")),
+        output_uint8=True)
+    pipe = TalkingPortraitPipeline(_StubDetector(), predictor, audio,
+                                   renderer)
+
+    rng = np.random.default_rng(0)
+    photo = rng.uniform(0, 255, (512, 512, 3)).astype(np.uint8)
+    secs = float(os.environ.get("BENCH_E2E_SECS", "6"))
+    # warm pass compiles every stage (separate audio so chunk shapes match)
+    pipe(photo, _make_wav(secs, seed=1))
+    t0 = time.perf_counter()
+    out = pipe(photo, _make_wav(secs, seed=2))
+    dt = time.perf_counter() - t0
+    return out.frames.shape[0] / dt, out.frames.shape[0]
+
+
+def bench_torch_cpu_e2e() -> float | None:
+    """Reference per-frame CPU path: scipy-griddata TPS grid + FlowUnet
+    forward + trident G forward + 2 grid_samples, frames/sec."""
+    if os.environ.get("BENCH_SKIP_TORCH"):
+        return None
+    try:
+        import torch
+        import torch.nn as tnn
+        import torch.nn.functional as F
+    except ImportError:
+        return None
+    from scipy.interpolate import griddata
+
+    g = _make_torch_trident()
+    # FlowUnet-equivalent torch cost: nf=16, 4 scales, 224px, 136ch in
+    class TFlow(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            nf = 16
+            self.stem = tnn.Conv2d(136, nf, 7, padding=3, bias=False)
+            self.pre = tnn.Conv2d(nf, nf * 2, 3, 2, 1, bias=False)
+            downs, ups = [], []
+            ch = nf * 2
+            for l in range(4):
+                o = min(512, ch * 2)
+                downs.append(tnn.Conv2d(ch, o, 4, 2, 1, bias=False))
+                ups.append(tnn.ConvTranspose2d(o, ch, 3, 2, 1, 1,
+                                               bias=False))
+                ch = o
+            self.downs = tnn.ModuleList(downs)
+            self.ups = tnn.ModuleList(ups)
+            self.up_pre = tnn.ConvTranspose2d(nf * 2, nf, 3, 2, 1, 1)
+            self.flow = tnn.Conv2d(nf, 2, 3, padding=1)
+            self.vis = tnn.Conv2d(nf, 3, 3, padding=1)
+
+        def forward(self, x):
+            x = F.leaky_relu(self.stem(x), 0.1)
+            x = F.leaky_relu(self.pre(x), 0.1)
+            skips = []
+            for d in self.downs:
+                skips.append(x)
+                x = F.leaky_relu(d(x), 0.2)
+            for u, s in zip(reversed(self.ups), reversed(skips)):
+                x = F.leaky_relu(u(x), 0.2) + s
+            x = F.leaky_relu(self.up_pre(x), 0.1)
+            return self.flow(x), self.vis(x)
+
+    tf = TFlow().eval()
+    rng = np.random.default_rng(0)
+    a68 = rng.uniform(60, 200, (68, 2)).astype(np.float64)
+    x = torch.randn(1, 3, H, H)
+    l1 = torch.randn(1, 1, H, H)
+    l2 = torch.randn(1, 1, H, H)
+    kp = torch.zeros(1, 136, 224, 224)
+    n = 2
+    with torch.no_grad():
+        g(x, l1, l2, torch.rand(1, H, H, 2) * 2 - 1,
+          torch.randn(1, 2, H, H))  # warmup
+        tf(kp)
+        t0 = time.perf_counter()
+        for i in range(n):
+            # per-frame TPS warp grid exactly as umlvdfw_test_dataset
+            tb = a68 + rng.normal(0, 2, a68.shape)
+            gy, gx = np.mgrid[0:H, 0:H]
+            grid_z = griddata(tb, a68 - tb, (gy, gx), method="cubic",
+                              fill_value=0)
+            motion = torch.as_tensor(
+                (np.stack([gx, gy], -1) + grid_z) / (H - 1) * 2 - 1,
+                dtype=torch.float32)[None]
+            flow, vis = tf(kp)
+            out = g(x, l1, l2, motion, torch.randn(1, 2, H, H))
+            F.grid_sample(torch.rand(1, 1, H, H), motion)
+        dt = time.perf_counter() - t0
+    return n / dt
+
+
 def main():
     if os.environ.get("BENCH_TRAIN"):
         sps = bench_train_step()
@@ -260,14 +445,26 @@ def main():
             "vs_baseline": None,
         }))
         return
-    fps = bench_jax()
-    base = bench_torch_cpu()
+    if os.environ.get("BENCH_MODE") == "generator":
+        fps = bench_jax()
+        base = bench_torch_cpu()
+        vs = (fps / base) if base else None
+        print(json.dumps({
+            "metric": "generator_forward_frames_per_sec_256px",
+            "value": round(fps, 3),
+            "unit": "frames/sec/chip",
+            "vs_baseline": round(vs, 3) if vs else None,
+        }))
+        return
+    fps, n_frames = bench_e2e()
+    base = bench_torch_cpu_e2e()
     vs = (fps / base) if base else None
     print(json.dumps({
-        "metric": "generator_forward_frames_per_sec_256px",
+        "metric": "e2e_pipeline_frames_per_sec_256px",
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(vs, 3) if vs else None,
+        "frames": n_frames,
     }))
 
 
