@@ -129,8 +129,15 @@ class AudioPipeline:
 
     def __init__(self, autovc_variables, voice_encoder_variables=None,
                  chunk: int = 4096):
-        self.autovc_variables = autovc_variables
-        self.voice_encoder_variables = voice_encoder_variables
+        # device_put once: host-resident weights passed as jit args
+        # re-upload through the (slow) TPU tunnel on every call
+        dev = jax.devices()[0]
+        put = lambda t: jax.tree_util.tree_map(  # noqa: E731
+            lambda x: jax.device_put(x, dev), t)
+        self.autovc_variables = put(autovc_variables)
+        self.voice_encoder_variables = (
+            None if voice_encoder_variables is None
+            else put(voice_encoder_variables))
         self.chunk = chunk
         self._g = AutoVCGenerator()
         self._fwd = jax.jit(

@@ -141,8 +141,13 @@ class LandmarkPredictor:
     def __init__(self, pos_variables, content_variables,
                  amp_pos: float = 0.5, amp_lip_x: float = 2.0,
                  amp_lip_y: float = 2.0, emb_coef: float = 3.0):
-        self.pos_variables = pos_variables
-        self.content_variables = content_variables
+        # device_put once: host-resident weights passed as jit args
+        # re-upload through the (slow) TPU tunnel on every call
+        dev = jax.devices()[0]
+        put = lambda t: jax.tree_util.tree_map(  # noqa: E731
+            lambda x: jax.device_put(x, dev), t)
+        self.pos_variables = put(pos_variables)
+        self.content_variables = put(content_variables)
         self.amp_pos = amp_pos
         self.amp_lip_x = amp_lip_x
         self.amp_lip_y = amp_lip_y

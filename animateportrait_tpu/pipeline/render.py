@@ -203,12 +203,19 @@ class Module2Renderer:
         # checkpoint variables enter the jits as ARGUMENTS — closing
         # over them inlines hundreds of MB of weight literals into the
         # program, which makes XLA compiles take minutes and defeats any
-        # compile caching across processes
-        self._prep_nets = {"modnet": self.v.modnet,
-                           "static_drawing": self.v.static_drawing,
-                           "photo2cartoon": self.v.photo2cartoon}
-        self._frame_nets = {"generator": self.v.generator,
-                            "flowunet": self.v.flowunet}
+        # compile caching across processes. They are device_put ONCE
+        # here: host-resident arrays passed to a jit re-upload on EVERY
+        # call, which over the remote-TPU tunnel (~20 MB/s) turned a
+        # 9 ms/frame renderer into a 270 ms/frame one (measured
+        # 2026-08-17, bench.py e2e mode).
+        dev = jax.devices()[0]
+        put = lambda t: jax.tree_util.tree_map(  # noqa: E731
+            lambda x: jax.device_put(x, dev), t)
+        self._prep_nets = put({"modnet": self.v.modnet,
+                               "static_drawing": self.v.static_drawing,
+                               "photo2cartoon": self.v.photo2cartoon})
+        self._frame_nets = put({"generator": self.v.generator,
+                                "flowunet": self.v.flowunet})
         self._prep_jit = jax.jit(self._prepare)
         self._frames_jit = jax.jit(self._frames)
 
@@ -347,5 +354,10 @@ class Module2Renderer:
             outs.append(out)
             if progress is not None:
                 progress(min(j + fb, T), T)
-        frames = np.concatenate([np.asarray(o) for o in outs], axis=0)[:T]
-        return frames
+        # fetch as ONE bulk transfer: per-batch np.asarray costs a full
+        # tunnel round trip each (~0.45 s/batch measured); a single
+        # device-side concat + one fetch moves the same bytes at link
+        # speed
+        frames_dev = outs[0] if len(outs) == 1 else jnp.concatenate(
+            outs, axis=0)
+        return np.asarray(frames_dev)[:T]
