@@ -78,16 +78,11 @@ def _load_or_init(path, loader, init_fn, name, unwrap=None):
         return loader(sd)
     print(f"[animateportrait] WARNING: no checkpoint for {name} "
           f"({path}); using random init", file=sys.stderr)
-    import jax
+    # smoke/perf fallback: eval_shape + numpy fill, no XLA compile
+    # (a single trident-G init is ~441 s of CPU compile on this host)
+    from animateportrait_tpu.utils.smoke import random_variables
 
-    # initialize on the host CPU backend: flax init compiles a full
-    # forward, which is wasted work on (and slow over) the TPU tunnel
-    try:
-        cpu = jax.devices("cpu")[0]
-    except RuntimeError:
-        return init_fn()
-    with jax.default_device(cpu):
-        return init_fn()
+    return random_variables(init_fn)
 
 
 def build_pipeline(args):
@@ -295,6 +290,14 @@ def _split_video(video_path: str, audio_path: str | None):
 
 
 def main(argv=None):
+    import time
+
+    t_start = time.time()
+
+    def stage(msg):
+        print(f"[animateportrait +{time.time() - t_start:6.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+
     args = build_argparser().parse_args(argv)
     from animateportrait_tpu.utils.observe import enable_compile_cache
     enable_compile_cache()
@@ -317,7 +320,9 @@ def main(argv=None):
     if args.reuse_train_emb_list:
         emb_runs = [(k, load_train_embs(args.ckpt_dir)[k])
                     for k in args.reuse_train_emb_list]
+    stage("imports done, building pipeline")
     pipeline = build_pipeline(args)
+    stage("pipeline built")
     img = cv2.imread(args.jpg)
     if img is None:
         raise SystemExit(f"cannot read {args.jpg}")
@@ -332,11 +337,13 @@ def main(argv=None):
         out = pipeline(img, wav, gender=args.gender,
                        rng=np.random.default_rng(args.seed),
                        spk_emb_override=emb)
+        stage("pipeline done, muxing video")
         suffix = f"_{key}" if key else ""
         dst = os.path.join(
             args.output, base,
             f"output_{args.exp.replace('/', '_')}{suffix}.avi")
         path = write_video_with_audio(dst, out.frames, wav, fps=out.fps)
+        stage("video written")
         print(f"[animateportrait] wrote {path} "
               f"({out.frames.shape[0]} frames @ {out.fps} fps)")
     return path

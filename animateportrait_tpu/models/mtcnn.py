@@ -245,11 +245,24 @@ class MTCNNDetector:
     """
 
     def __init__(self, pnet_params, rnet_params, onet_params,
-                 k_scale: int = 256, k_stage2: int = 128, k_stage3: int = 32):
+                 k_scale: int = 256, k_stage2: int = 128, k_stage3: int = 32,
+                 device: str = "cpu"):
         self.pnet, self.rnet, self.onet = PNet(), RNet(), ONet()
         self.params = (pnet_params, rnet_params, onet_params)
         self.k_scale, self.k2, self.k3 = k_scale, k_stage2, k_stage3
         self._jit_cache: dict[Any, Any] = {}
+        # detection runs ONCE per photo and is ~100 MFLOP, but its ~15
+        # per-scale programs cost seconds EACH of per-process program
+        # loading over a remote-TPU tunnel (measured 221 s for the first
+        # detect of a fresh process with a warm compile cache, 0.2 s
+        # after). Defaulting the cascade to the local CPU backend makes
+        # program loads local-disk fast and the compute is negligible.
+        self._device = None
+        if device == "cpu":
+            try:
+                self._device = jax.local_devices(backend="cpu")[0]
+            except RuntimeError:
+                self._device = None
 
     # ---- stage 1 ----------------------------------------------------------
     def _stage1_one_scale(self, img, scale, h, w, threshold):
@@ -348,6 +361,15 @@ class MTCNNDetector:
         ~19 min to compile over the remote-TPU tunnel; split programs
         compile in seconds each and land in the persistent cache.
         """
+        import contextlib
+
+        ctx = (jax.default_device(self._device) if self._device is not None
+               else contextlib.nullcontext())
+        with ctx:
+            return self._detect_host(img, min_face_size, thresholds,
+                                     nms_thresholds)
+
+    def _detect_host(self, img, min_face_size, thresholds, nms_thresholds):
         h, w = img.shape[:2]
         scales = tuple(pyramid_scales(h, w, min_face_size))
         img_j = jnp.asarray(img, jnp.float32)

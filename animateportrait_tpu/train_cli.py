@@ -199,7 +199,8 @@ def main(argv=None):
                 logger.save_visuals(
                     vis, epoch, iters=step,
                     update_html=(not args.no_html
-                                 and step % args.update_html_freq == 0))
+                                 and step % max(1, args.update_html_freq)
+                                 == 0))
             if args.save_latest_freq and step % args.save_latest_freq == 0:
                 # reference saves latest_net_* every save_latest_freq
                 # (train.py:48-55); with --save_by_iter every such save

@@ -311,30 +311,32 @@ def bench_e2e() -> tuple[float, int]:
     from animateportrait_tpu.pipeline.render import (
         Module2Renderer, RendererVariables)
 
+    from animateportrait_tpu.utils.smoke import random_variables
+
     k = jax.random.key(0)
     cs = 256
-    try:
-        cpu = jax.local_devices(backend="cpu")[0]
-    except RuntimeError:
-        cpu = jax.devices()[0]
-    with jax.default_device(cpu):
-        autovc_v = AutoVCGenerator().init(
-            k, jnp.zeros((1, 32, 80)), jnp.zeros((1, 256)),
-            jnp.zeros((1, 256)), jnp.zeros((1, 32, 257)))
-        pos_v = Audio2landmarkPos().init(
-            k, jnp.zeros((4, 18, 80)), jnp.zeros((4, 256)),
-            jnp.zeros((1, 204)), jnp.zeros((4, 128)))
-        cont_v = Audio2landmarkContent().init(
-            k, jnp.zeros((4, 18, 80)), jnp.zeros((1, 204)))
-        gen_v = TridentGeneratorFullIFW(output_nc=1, ngf=64, div=3,
+    # eval_shape + numpy fill: real flax inits would cost minutes of XLA
+    # compile on this host for weights that are random anyway
+    autovc_v = random_variables(lambda: AutoVCGenerator().init(
+        k, jnp.zeros((1, 32, 80)), jnp.zeros((1, 256)),
+        jnp.zeros((1, 256)), jnp.zeros((1, 32, 257))))
+    pos_v = random_variables(lambda: Audio2landmarkPos().init(
+        k, jnp.zeros((4, 18, 80)), jnp.zeros((4, 256)),
+        jnp.zeros((1, 204)), jnp.zeros((4, 128))))
+    cont_v = random_variables(lambda: Audio2landmarkContent().init(
+        k, jnp.zeros((4, 18, 80)), jnp.zeros((1, 204))))
+    gen_v = random_variables(
+        lambda: TridentGeneratorFullIFW(output_nc=1, ngf=64, div=3,
                                         disp=3).init(
             k, jnp.zeros((1, cs, cs, 3)), jnp.zeros((1, cs, cs, 1)),
             jnp.zeros((1, cs, cs, 1)), jnp.zeros((1, cs, cs, 2)),
-            jnp.zeros((1, cs, cs, 2)), jnp.zeros((1, cs, cs, 1)))
-        flow_v = FlowUnet().init(k, jnp.zeros((1, 224, 224, 136)))
-        modnet_v = MODNet().init(k, jnp.zeros((1, cs, cs, 3)))
-        static_v = ResnetStyle2Generator().init(
-            k, jnp.zeros((1, 512, 512, 3)), jnp.zeros((1, 128, 128, 3)))
+            jnp.zeros((1, cs, cs, 2)), jnp.zeros((1, cs, cs, 1))))
+    flow_v = random_variables(
+        lambda: FlowUnet().init(k, jnp.zeros((1, 224, 224, 136))))
+    modnet_v = random_variables(
+        lambda: MODNet().init(k, jnp.zeros((1, cs, cs, 3))))
+    static_v = random_variables(lambda: ResnetStyle2Generator().init(
+        k, jnp.zeros((1, 512, 512, 3)), jnp.zeros((1, 128, 128, 3))))
 
     audio = AudioPipeline(autovc_v, chunk=512)
     predictor = LandmarkPredictor(pos_v, cont_v)
