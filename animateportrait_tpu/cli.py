@@ -55,6 +55,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--frame_batch", type=int, default=32,
                    help="frames per render dispatch (amortizes per-call "
                         "overhead; 8 matches the old default")
+    p.add_argument("--render_dp", action="store_true",
+                   help="shard each frame batch across all visible "
+                        "devices (multi-chip data-parallel rendering)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -218,7 +221,7 @@ def build_pipeline(args):
                           modnet=modnet_v, static_drawing=static_v,
                           photo2cartoon=cartoon_v),
         style=style, output_nc=nc, frame_batch=args.frame_batch,
-        output_uint8=True)
+        output_uint8=True, data_parallel=args.render_dp)
 
     return TalkingPortraitPipeline(detector, predictor, audio, renderer,
                                    landmark_fn=landmark_fn)

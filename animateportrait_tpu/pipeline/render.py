@@ -167,7 +167,8 @@ class Module2Renderer:
                  modnet: MODNet | None = None,
                  static_g: ResnetStyle2Generator | None = None,
                  cartoon_g: Photo2CartoonGenerator | None = None,
-                 use_bf16: bool = False, output_uint8: bool = False):
+                 use_bf16: bool = False, output_uint8: bool = False,
+                 data_parallel: bool = False):
         if use_bf16:
             # cast the per-frame nets (trident generator + intrinsic-flow
             # Unet params — flow dominates the per-frame FLOPs) to
@@ -208,9 +209,30 @@ class Module2Renderer:
         # call, which over the remote-TPU tunnel (~20 MB/s) turned a
         # 9 ms/frame renderer into a 270 ms/frame one (measured
         # 2026-08-17, bench.py e2e mode).
-        dev = jax.devices()[0]
-        put = lambda t: jax.tree_util.tree_map(  # noqa: E731
-            lambda x: jax.device_put(x, dev), t)
+        # data_parallel: shard the frame batch across ALL devices of a
+        # 1-D mesh (rendering is embarrassingly parallel over frames —
+        # the idiomatic multi-chip serving layout). Nets and the
+        # per-photo prep outputs are replicated; GSPMD partitions the
+        # per-frame programs with no user-level collectives.
+        self._mesh = None
+        self._batch_sharding = None
+        if data_parallel and len(jax.devices()) > 1:
+            from jax.sharding import (Mesh, NamedSharding, PartitionSpec)
+
+            n_dev = len(jax.devices())
+            self._mesh = Mesh(np.asarray(jax.devices()), ("frames",))
+            self._batch_sharding = NamedSharding(self._mesh,
+                                                 PartitionSpec("frames"))
+            self._repl_sharding = NamedSharding(self._mesh,
+                                                PartitionSpec())
+            # frame_batch must tile evenly across the mesh
+            self.frame_batch = -(-self.frame_batch // n_dev) * n_dev
+            put = lambda t: jax.tree_util.tree_map(  # noqa: E731
+                lambda x: jax.device_put(x, self._repl_sharding), t)
+        else:
+            dev = jax.devices()[0]
+            put = lambda t: jax.tree_util.tree_map(  # noqa: E731
+                lambda x: jax.device_put(x, dev), t)
         self._prep_nets = put({"modnet": self.v.modnet,
                                "static_drawing": self.v.static_drawing,
                                "photo2cartoon": self.v.photo2cartoon})
@@ -324,6 +346,10 @@ class Module2Renderer:
         photo = jnp.asarray(photo, jnp.float32)[None]
         a68 = jnp.asarray(a_lm68, jnp.float32)[None]
         prep = self._prep_jit(self._prep_nets, photo)
+        if self._mesh is not None:
+            # replicate the per-photo tensors across the frame mesh
+            prep = jax.device_put(prep, self._repl_sharding)
+            a68 = jax.device_put(a68, self._repl_sharding)
 
         T = tb_lm68s.shape[0]
         fb = self.frame_batch
@@ -339,10 +365,15 @@ class Module2Renderer:
                 0) if pad else np.asarray(motions)
         for j in range(0, tb68_p.shape[0], fb):
             lm_batch = jnp.asarray(tb68_p[j: j + fb], jnp.float32)
+            mo_batch = None if mo_p is None else jnp.asarray(
+                mo_p[j: j + fb], jnp.float32)
+            if self._batch_sharding is not None:
+                lm_batch = jax.device_put(lm_batch, self._batch_sharding)
+                if mo_batch is not None:
+                    mo_batch = jax.device_put(mo_batch,
+                                              self._batch_sharding)
             out = self._frames_jit(
-                self._frame_nets, *prep, a68, lm_batch,
-                None if mo_p is None else jnp.asarray(
-                    mo_p[j: j + fb], jnp.float32))
+                self._frame_nets, *prep, a68, lm_batch, mo_batch)
             # keep the device array and start its host copy in the
             # background — a synchronous np.asarray here would stall the
             # dispatch pipeline on every batch (compute, then transfer,

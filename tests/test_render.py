@@ -81,6 +81,48 @@ def test_module2_renderer_smoke(rng):
 
 
 @pytest.mark.slow
+def test_data_parallel_renderer_matches_single_device(rng):
+    """data_parallel=True shards the frame batch over the (8-virtual-
+    device) mesh; outputs must match the single-device renderer."""
+    from animateportrait_tpu.models.flowunet import FlowUnet
+    from animateportrait_tpu.models.gan import (
+        ResnetStyle2Generator, TridentGeneratorFullIFW)
+    from animateportrait_tpu.models.modnet import MODNet
+    from animateportrait_tpu.pipeline.render import (
+        Module2Renderer, RendererVariables)
+
+    k = jax.random.key(0)
+    cs = 64
+    gen = TridentGeneratorFullIFW(output_nc=1, ngf=8, div=3, disp=3).init(
+        k, jnp.zeros((1, cs, cs, 3)), jnp.zeros((1, cs, cs, 1)),
+        jnp.zeros((1, cs, cs, 1)), jnp.zeros((1, cs, cs, 2)),
+        jnp.zeros((1, cs, cs, 2)), jnp.zeros((1, cs, cs, 1)))
+    flow = FlowUnet(nf=4, max_nf=64).init(k, jnp.zeros((1, 224, 224, 136)))
+    modnet = MODNet().init(k, jnp.zeros((1, cs, cs, 3)))
+    static = ResnetStyle2Generator(ngf=8).init(
+        k, jnp.zeros((1, 512, 512, 3)), jnp.zeros((1, 128, 128, 3)))
+    v = RendererVariables(generator=gen, flowunet=flow, modnet=modnet,
+                          static_drawing=static)
+    kw = dict(style="drawing", ngf=8,
+              flowunet=FlowUnet(nf=4, max_nf=64),
+              static_g=ResnetStyle2Generator(ngf=8), crop_size=cs)
+
+    photo = rng.uniform(-1, 1, (cs, cs, 3)).astype(np.float32)
+    theta = np.linspace(0, 2 * np.pi, 68, endpoint=False)
+    a68 = np.stack([32 + 15 * np.cos(theta),
+                    32 + 15 * np.sin(theta)], -1).astype(np.float32)
+    tb = np.stack([a68 + 0.2 * i for i in range(10)]).astype(np.float32)
+
+    r1 = Module2Renderer(v, frame_batch=8, **kw)
+    rdp = Module2Renderer(v, frame_batch=8, data_parallel=True, **kw)
+    assert rdp.frame_batch % len(jax.devices()) == 0
+    f1 = r1(photo, a68, tb)
+    f2 = rdp(photo, a68, tb)
+    assert f1.shape == f2.shape == (10, cs, cs, 1)
+    np.testing.assert_allclose(f1, f2, atol=2e-5)
+
+
+@pytest.mark.slow
 def test_bf16_generator_matches_fp32_psnr():
     """bf16 rendering quality characterization: full-bf16 (weights +
     activations) holds ~30 dB PSNR vs fp32 on an untrained generator —
