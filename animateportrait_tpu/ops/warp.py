@@ -80,6 +80,32 @@ def sample_bilinear(
     return sample_bilinear_multi(img, [(iy, ix)], padding_mode)[0]
 
 
+def _aug4(p: jax.Array, mode: str) -> jax.Array:
+    """Four-tap augmentation of a 1-padded image: aug[n, y, x] =
+    [P[y,x], P[y,x+1], P[y+1,x], P[y+1,x+1]] along channels.
+
+    mode 'slice': four shifted spatial slices + concat. Fast standalone,
+    but inside a large program XLA materializes the lane-misaligned
+    slices separately (measured ~23 GB/s effective on the renderer's
+    (8,257,257,32) warp — the C=32 pieces fill 32 of 128 lanes).
+    mode 'conv': one (2,2,C,4C) one-hot conv on the padded image — an
+    ordinary MXU op that never gets de-fused and writes the 4C-lane
+    output rows directly.
+    """
+    n, Hp, Wp, C = p.shape
+    if mode == "slice" or C < 16:  # one-hot conv is lane-starved below 16ch
+        return jnp.concatenate(
+            [p[:, :-1, :-1], p[:, :-1, 1:], p[:, 1:, :-1], p[:, 1:, 1:]],
+            axis=-1)
+    eye = jnp.eye(C, dtype=p.dtype)
+    k = jnp.zeros((2, 2, C, 4, C), p.dtype)
+    for t, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        k = k.at[dy, dx, :, t, :].set(eye)
+    return jax.lax.conv_general_dilated(
+        p, k.reshape(2, 2, C, 4 * C), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 def sample_bilinear_multi(
     img: jax.Array,
     coords: list[tuple[jax.Array, jax.Array]],
@@ -93,12 +119,18 @@ def sample_bilinear_multi(
     the same features by both the TPS motion grid and the intrinsic flow,
     so sharing the aug halves its HBM traffic.
     """
+    import os
+
     N, H, W, C = img.shape
     pad_kw = ({"mode": "edge"} if padding_mode == "border"
               else {"mode": "constant"})
     p = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)), **pad_kw)
     rows = (H + 1) * (W + 1)
     chunk = _gather_chunk(N, rows, 4 * C * img.dtype.itemsize)
+    # full-batch aug built ONCE (conv mode keeps the MXU busy at full
+    # batch); chunks below take leading-dim slices of it, which are
+    # contiguous copies on XLA's fast path
+    aug_all = _aug4(p, os.environ.get("AP_WARP_AUG", "conv"))
 
     pre = []
     for iy, ix in coords:
@@ -112,12 +144,8 @@ def sample_bilinear_multi(
     for c0 in range(0, N, chunk):
         n = min(chunk, N - c0)
         sl = slice(c0, c0 + n)
-        # aug[n, y, x] = [P[y,x], P[y,x+1], P[y+1,x], P[y+1,x+1]] in padded
-        # coordinates; gathering at (clip(y0)+1, clip(x0)+1) yields all taps
-        pc = p[sl]
-        aug = jnp.concatenate(
-            [pc[:, :-1, :-1], pc[:, :-1, 1:], pc[:, 1:, :-1], pc[:, 1:, 1:]],
-            axis=-1).reshape(n * rows, 4 * C)
+        # gathering at (clip(y0)+1, clip(x0)+1) yields all four taps
+        aug = aug_all[sl].reshape(n * rows, 4 * C)
         for w_i, (y0i_f, x0i_f, wy_f, wx_f) in enumerate(pre):
             y0i, x0i, wy, wx = y0i_f[sl], x0i_f[sl], wy_f[sl], wx_f[sl]
             gy = jnp.clip(y0i, -1, H - 1) + 1
