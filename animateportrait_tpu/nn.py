@@ -139,21 +139,45 @@ class ConvTranspose2dTorch(nn.Module):
         return y
 
 
+def _resize_matrix(n_in: int, n_out: int, align_corners: bool):
+    """(n_out, n_in) two-tap interpolation matrix for a 1-D bilinear
+    resize, torch semantics (border-clamped taps; at edges both taps
+    collapse onto the same pixel and their weights sum)."""
+    import numpy as np
+
+    # weights in float32 exactly like torch's upsample kernels
+    # (area_pixel_compute_scale/source_index use float for f32 tensors)
+    if align_corners:
+        scale = np.float32(n_in - 1) / np.float32(max(n_out - 1, 1))
+        pos = scale * np.arange(n_out, dtype=np.float32)
+    else:
+        scale = np.float32(n_in) / np.float32(n_out)
+        pos = np.maximum(
+            scale * (np.arange(n_out, dtype=np.float32) + np.float32(0.5))
+            - np.float32(0.5), np.float32(0))
+    lo = np.floor(pos).astype(np.int64)
+    f = (pos - lo).astype(np.float32)
+    m = np.zeros((n_out, n_in), np.float32)
+    o = np.arange(n_out)
+    m[o, np.clip(lo, 0, n_in - 1)] += 1.0 - f
+    m[o, np.clip(lo + 1, 0, n_in - 1)] += f
+    return m
+
+
 def interpolate_bilinear(x, size, align_corners: bool = False):
-    """torch F.interpolate(mode='bilinear') for NHWC input."""
+    """torch F.interpolate(mode='bilinear') for NHWC input.
+
+    TPU note: a regular resize is separable, so it runs as two small
+    matmuls (rows then columns) on the MXU instead of the generic warp
+    gather — the gather path is lane-starved for the C=1..3 flow/mask/
+    image resizes that dominate this call's uses.
+    """
     N, H, W, C = x.shape
     Ho, Wo = size
-    if align_corners:
-        ys = jnp.linspace(0.0, H - 1.0, Ho)
-        xs = jnp.linspace(0.0, W - 1.0, Wo)
-    else:
-        ys = (jnp.arange(Ho) + 0.5) * (H / Ho) - 0.5
-        xs = (jnp.arange(Wo) + 0.5) * (W / Wo) - 0.5
-    iy = jnp.broadcast_to(ys[:, None], (Ho, Wo))[None].repeat(N, axis=0)
-    ix = jnp.broadcast_to(xs[None, :], (Ho, Wo))[None].repeat(N, axis=0)
-    from animateportrait_tpu.ops.warp import sample_bilinear
-
-    return sample_bilinear(x, iy, ix, padding_mode="border")
+    my = jnp.asarray(_resize_matrix(H, Ho, align_corners), x.dtype)
+    mx = jnp.asarray(_resize_matrix(W, Wo, align_corners), x.dtype)
+    y = jnp.einsum("oh,nhwc->nowc", my, x)
+    return jnp.einsum("ow,nhwc->nhoc", mx, y)
 
 
 class LSTMLayerTorch(nn.Module):
