@@ -118,25 +118,72 @@ class ConvTranspose2dTorch(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        import os
+
         in_ch = x.shape[-1]
         k = self.kernel
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (k, k, self.features, in_ch))  # HWOI: transpose_kernel layout
-        lo = k - 1 - self.padding
-        hi = k - 1 - self.padding + self.output_padding
-        y = jax.lax.conv_transpose(
-            x, kernel,
-            strides=(self.stride, self.stride),
-            padding=((lo, hi), (lo, hi)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            transpose_kernel=True,
-        )
+        if ((k, self.stride, self.padding, self.output_padding)
+                == (3, 2, 1, 1)
+                and os.environ.get("AP_CONVT", "phase") == "phase"):
+            y = self._phase_split(x, kernel)
+        else:
+            lo = k - 1 - self.padding
+            hi = k - 1 - self.padding + self.output_padding
+            y = jax.lax.conv_transpose(
+                x, kernel,
+                strides=(self.stride, self.stride),
+                padding=((lo, hi), (lo, hi)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                transpose_kernel=True,
+            )
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,))
             y = y + bias
         return y
+
+    def _phase_split(self, x, w):
+        """k=3/s=2/p=1/op=1 transposed conv as ONE dense 2x2 conv to
+        4*C_out phase channels + a depth-to-space interleave.
+
+        TPU note: lax.conv_transpose lowers to an input-dilated conv —
+        the MXU then spends 3 of every 4 multiply rows on inserted
+        zeros (9 taps over a 2x-dilated input vs the 9 real taps split
+        1/2/2/4 across the four output phases below). The dense phase
+        kernel costs 16 MACs per output quad instead of 36.
+
+        Derivation: out[o] = sum_{i,t: o = 2i - 1 + t} x[i] w[t] gives
+        out[2m]   (per axis) = w[1] x[m]
+        out[2m+1] (per axis) = w[2] x[m] + w[0] x[m+1]
+        so with the 2x2 window v = x[m:m+2, n:n+2] (zero-padded at the
+        bottom/right edge):
+        phase(dy,dx) taps = outer({w[1]}|{w[2],w[0]}, {w[1]}|{w[2],w[0]}).
+        """
+        co = self.features
+        # per-axis tap tables: row r of t[dy] holds the weight index of
+        # window offset r (None = structural zero)
+        #   dy=0: v[0]*w[1];        dy=1: v[0]*w[2] + v[1]*w[0]
+        pk = jnp.zeros((2, 2, x.shape[-1], 4 * co), w.dtype)
+        for dy, rows in enumerate(([(0, 1)], [(0, 2), (1, 0)])):
+            for dx, cols in enumerate(([(0, 1)], [(0, 2), (1, 0)])):
+                for ry, wy in rows:
+                    for rx, wx in cols:
+                        # w is HWOI -> (O, I) slice transposed to (I, O)
+                        blk = jnp.swapaxes(w[wy, wx], 0, 1)
+                        ph = dy * 2 + dx
+                        pk = pk.at[ry, rx, :, ph * co:(ph + 1) * co].set(
+                            blk)
+        xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        y = jax.lax.conv_general_dilated(
+            xp, pk, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        n, h, wdt, _ = y.shape
+        y = y.reshape(n, h, wdt, 2, 2, co)
+        y = jnp.transpose(y, (0, 1, 3, 2, 4, 5))
+        return y.reshape(n, 2 * h, 2 * wdt, co)
 
 
 def _resize_matrix(n_in: int, n_out: int, align_corners: bool):

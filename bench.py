@@ -437,7 +437,37 @@ def bench_torch_cpu_e2e() -> float | None:
     return n / dt
 
 
+def _arm_watchdog():
+    """Fail loudly instead of hanging forever.
+
+    The remote-TPU tunnel occasionally wedges (jax.devices() itself
+    blocks, observed 2026-08-17). A hung bench records NOTHING for the
+    round; an explicit error line at least says what happened. The
+    timer is generous — first compiles of changed programs through the
+    remote compile service can take many minutes.
+    """
+    import threading
+
+    budget = float(os.environ.get("BENCH_WATCHDOG_SECS", "2700"))
+
+    def fire():
+        print(json.dumps({
+            "metric": "e2e_pipeline_frames_per_sec_256px",
+            "value": None,
+            "unit": "frames/sec/chip",
+            "vs_baseline": None,
+            "error": f"watchdog: no result after {budget:.0f}s "
+                     "(device/tunnel unreachable or compile stuck)",
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(budget, fire)
+    t.daemon = True
+    t.start()
+
+
 def main():
+    _arm_watchdog()
     if os.environ.get("BENCH_TRAIN"):
         sps = bench_train_step()
         print(json.dumps({
