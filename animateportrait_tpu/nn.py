@@ -101,6 +101,28 @@ def replicate_pad_2d(x, pad: int):
     return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
 
 
+def _phase_taps(k: int, s: int, p: int, op: int):
+    """Per-phase tap tables for the phase-split transposed conv.
+
+    Returns (taps, lo, hi) where taps[dy] lists (window offset d,
+    kernel index t) pairs contributing to output row s*m + dy, or None
+    when the split does not apply (output length must be exactly s*H,
+    i.e. (H-1)*s - 2p + k + op == s*H, and every output needs >=1 tap).
+    """
+    if s < 2 or (k + op - 2 * p) != s:
+        return None
+    taps: list[list[tuple[int, int]]] = []
+    for dy in range(s):
+        row = [(d, dy + p - s * d)
+               for d in range(-(k // s) - 1, k // s + 2)
+               if 0 <= dy + p - s * d < k]
+        if not row:
+            return None
+        taps.append(row)
+    offs = [d for row in taps for d, _ in row]
+    return taps, min(offs), max(offs)
+
+
 class ConvTranspose2dTorch(nn.Module):
     """torch ConvTranspose2d(k=3, s=2, p=1, output_padding=1) semantics, NHWC.
 
@@ -125,8 +147,8 @@ class ConvTranspose2dTorch(nn.Module):
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (k, k, self.features, in_ch))  # HWOI: transpose_kernel layout
-        if ((k, self.stride, self.padding, self.output_padding)
-                == (3, 2, 1, 1)
+        if (_phase_taps(k, self.stride, self.padding,
+                        self.output_padding) is not None
                 and os.environ.get("AP_CONVT", "phase") == "phase"):
             y = self._phase_split(x, kernel)
         else:
@@ -146,44 +168,44 @@ class ConvTranspose2dTorch(nn.Module):
         return y
 
     def _phase_split(self, x, w):
-        """k=3/s=2/p=1/op=1 transposed conv as ONE dense 2x2 conv to
-        4*C_out phase channels + a depth-to-space interleave.
+        """Strided transposed conv as ONE dense small conv to s^2*C_out
+        phase channels + a depth-to-space interleave.
 
         TPU note: lax.conv_transpose lowers to an input-dilated conv —
-        the MXU then spends 3 of every 4 multiply rows on inserted
-        zeros (9 taps over a 2x-dilated input vs the 9 real taps split
-        1/2/2/4 across the four output phases below). The dense phase
-        kernel costs 16 MACs per output quad instead of 36.
+        the MXU then multiplies inserted zeros for (s^2-1)/s^2 of the
+        tap rows. Splitting the output into its s x s phases uses only
+        the real taps each phase touches: for the hot k=3/s=2/p=1/op=1
+        layers (generator up0/up1, FlowUnet up-convs) that is a dense
+        2x2 conv, 16 MACs per output quad instead of 36.
 
-        Derivation: out[o] = sum_{i,t: o = 2i - 1 + t} x[i] w[t] gives
-        out[2m]   (per axis) = w[1] x[m]
-        out[2m+1] (per axis) = w[2] x[m] + w[0] x[m+1]
-        so with the 2x2 window v = x[m:m+2, n:n+2] (zero-padded at the
-        bottom/right edge):
-        phase(dy,dx) taps = outer({w[1]}|{w[2],w[0]}, {w[1]}|{w[2],w[0]}).
+        Derivation (per axis): out[o] = sum over (i, t) with
+        o = s*i - p + t of x[i] w[t]; writing o = s*m + dy gives the
+        per-phase taps t = (dy + p - s*d) for window offsets d = i - m,
+        enumerated by :func:`_phase_taps`.
         """
+        s = self.stride
         co = self.features
-        # per-axis tap tables: row r of t[dy] holds the weight index of
-        # window offset r (None = structural zero)
-        #   dy=0: v[0]*w[1];        dy=1: v[0]*w[2] + v[1]*w[0]
-        pk = jnp.zeros((2, 2, x.shape[-1], 4 * co), w.dtype)
-        for dy, rows in enumerate(([(0, 1)], [(0, 2), (1, 0)])):
-            for dx, cols in enumerate(([(0, 1)], [(0, 2), (1, 0)])):
-                for ry, wy in rows:
-                    for rx, wx in cols:
+        taps, lo, hi = _phase_taps(k := self.kernel, s, self.padding,
+                                   self.output_padding)
+        win = hi - lo + 1
+        pk = jnp.zeros((win, win, x.shape[-1], s * s * co), w.dtype)
+        for dy in range(s):
+            for dx in range(s):
+                ph = dy * s + dx
+                for d_y, wy in taps[dy]:
+                    for d_x, wx in taps[dx]:
                         # w is HWOI -> (O, I) slice transposed to (I, O)
                         blk = jnp.swapaxes(w[wy, wx], 0, 1)
-                        ph = dy * 2 + dx
-                        pk = pk.at[ry, rx, :, ph * co:(ph + 1) * co].set(
-                            blk)
-        xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+                        pk = pk.at[d_y - lo, d_x - lo, :,
+                                   ph * co:(ph + 1) * co].set(blk)
+        xp = jnp.pad(x, ((0, 0), (-lo, hi), (-lo, hi), (0, 0)))
         y = jax.lax.conv_general_dilated(
             xp, pk, window_strides=(1, 1), padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         n, h, wdt, _ = y.shape
-        y = y.reshape(n, h, wdt, 2, 2, co)
+        y = y.reshape(n, h, wdt, s, s, co)
         y = jnp.transpose(y, (0, 1, 3, 2, 4, 5))
-        return y.reshape(n, 2 * h, 2 * wdt, co)
+        return y.reshape(n, s * h, s * wdt, co)
 
 
 def _resize_matrix(n_in: int, n_out: int, align_corners: bool):
