@@ -58,6 +58,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--render_dp", action="store_true",
                    help="shard each frame batch across all visible "
                         "devices (multi-chip data-parallel rendering)")
+    p.add_argument("--render_bf16", action="store_true",
+                   help="run the per-frame nets (trident generator + "
+                        "intrinsic-flow Unet) in bfloat16; the "
+                        "once-per-photo nets stay fp32")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -221,7 +225,8 @@ def build_pipeline(args):
                           modnet=modnet_v, static_drawing=static_v,
                           photo2cartoon=cartoon_v),
         style=style, output_nc=nc, frame_batch=args.frame_batch,
-        output_uint8=True, data_parallel=args.render_dp)
+        output_uint8=True, data_parallel=args.render_dp,
+        use_bf16=args.render_bf16)
 
     return TalkingPortraitPipeline(detector, predictor, audio, renderer,
                                    landmark_fn=landmark_fn)
