@@ -245,8 +245,12 @@ def interpolate_bilinear(x, size, align_corners: bool = False):
     Ho, Wo = size
     my = jnp.asarray(_resize_matrix(H, Ho, align_corners), x.dtype)
     mx = jnp.asarray(_resize_matrix(W, Wo, align_corners), x.dtype)
-    y = jnp.einsum("oh,nhwc->nowc", my, x)
-    return jnp.einsum("ow,nhwc->nhoc", mx, y)
+    # HIGHEST: keeps f32 resizes exact on TPU (DEFAULT matmul precision
+    # would run them as bf16 MXU passes); the op is bandwidth-bound, so
+    # the full-precision pass costs nothing
+    hp = jax.lax.Precision.HIGHEST
+    y = jnp.einsum("oh,nhwc->nowc", my, x, precision=hp)
+    return jnp.einsum("ow,nhwc->nhoc", mx, y, precision=hp)
 
 
 class LSTMLayerTorch(nn.Module):
