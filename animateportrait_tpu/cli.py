@@ -326,8 +326,13 @@ def main(argv=None):
     # implement the saved-embedding semantics the flag is named for.)
     emb_runs: list[tuple[str, np.ndarray | None]] = [("", None)]
     if args.reuse_train_emb_list:
-        emb_runs = [(k, load_train_embs(args.ckpt_dir)[k])
-                    for k in args.reuse_train_emb_list]
+        embs = load_train_embs(args.ckpt_dir)
+        missing = [k for k in args.reuse_train_emb_list if k not in embs]
+        if missing:
+            raise SystemExit(
+                f"--reuse_train_emb_list: unknown keys {missing}; "
+                f"available: {sorted(embs)[:20]}")
+        emb_runs = [(k, embs[k]) for k in args.reuse_train_emb_list]
     stage("imports done, building pipeline")
     pipeline = build_pipeline(args)
     stage("pipeline built")

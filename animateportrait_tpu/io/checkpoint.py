@@ -49,10 +49,26 @@ class CheckpointManager:
                 save_interval_steps=save_interval_steps),
         )
         self._iter_mgr = None
+        self._latest_mgr = None
+
+    def _latest(self):
+        """Single rolling 'latest' slot (<dir>/latest, max_to_keep=1) —
+        the reference's latest_net_* files are one overwritten slot
+        (base_model.py:152-156). Routing latest-cadence saves into the
+        MAIN manager would count them against its max_to_keep and evict
+        the epoch snapshots."""
+        import orbax.checkpoint as ocp
+
+        if self._latest_mgr is None:
+            self._latest_mgr = ocp.CheckpointManager(
+                os.path.join(self._dir, "latest"),
+                options=ocp.CheckpointManagerOptions(max_to_keep=1))
+        return self._latest_mgr
 
     def save(self, step: int, state: Any, force: bool = False,
-             keep: bool = False) -> bool:
-        """force: save even off the save_interval cadence (the
+             keep: bool = False, latest: bool = False) -> bool:
+        """force: save even off the save_interval cadence; latest: write
+        the rolling latest/ slot instead of the epoch namespace (the
         save_latest_freq path, train.py:48-55); keep: also persist under
         iters/ with no pruning (--save_by_iter)."""
         import orbax.checkpoint as ocp
@@ -64,6 +80,12 @@ class CheckpointManager:
                     options=ocp.CheckpointManagerOptions(max_to_keep=None))
             self._iter_mgr.save(step, args=ocp.args.StandardSave(state))
             self._iter_mgr.wait_until_finished()
+        if latest:
+            mgr = self._latest()
+            ok = mgr.save(step, args=ocp.args.StandardSave(state),
+                          force=True)
+            mgr.wait_until_finished()
+            return ok
         ok = self._mgr.save(step, args=ocp.args.StandardSave(state),
                             force=force)
         self._mgr.wait_until_finished()
@@ -73,11 +95,30 @@ class CheckpointManager:
         import orbax.checkpoint as ocp
 
         step = self.latest_step() if step is None else step
+        # the rolling latest/ slot may hold the newest state (and is the
+        # ONLY holder of its step when the crash happened between epoch
+        # saves); route to it exactly when it owns the requested step
+        if step is not None and os.path.isdir(
+                os.path.join(self._dir, "latest")):
+            lm = self._latest()
+            if (lm.latest_step() == step
+                    and step not in self._mgr.all_steps()):
+                return lm.restore(step,
+                                  args=ocp.args.StandardRestore(target))
         return self._mgr.restore(step,
                                  args=ocp.args.StandardRestore(target))
 
     def latest_step(self) -> int | None:
-        return self._mgr.latest_step()
+        steps = [s for s in (self._mgr.latest_step(),) if s is not None]
+        if os.path.isdir(os.path.join(self._dir, "latest")):
+            ls = self._latest().latest_step()
+            if ls is not None:
+                steps.append(ls)
+        return max(steps) if steps else None
 
     def close(self):
         self._mgr.close()
+        if self._iter_mgr is not None:
+            self._iter_mgr.close()
+        if self._latest_mgr is not None:
+            self._latest_mgr.close()

@@ -28,14 +28,12 @@ def s2d_conv_stride2(x: jax.Array, w: jax.Array) -> jax.Array:
     """Stride-2 SAME conv (torch Conv2d(k, stride=2, padding=k//2)
     semantics) computed as a dense conv on the 2x2-blocked image.
 
-    x: (N, H, W, C) with H, W even; w: (k, k, C, F), k odd (3) or even
-    (4, torch-style SAME: padding k//2 - 1 on the leading side... for
-    the k=4 'patchgan' downsamplers flax/torch use padding=1).
-    Returns (N, H//2, W//2, F), bit-comparable to
-    ``lax.conv_general_dilated(x, w, (2, 2), padding=[(p, p'), ...])``
-    with the padding flax's nn.Conv(strides=2, padding=k//2) produces
-    for odd k (p = p' = k//2) — callers with even k pass their own
-    padded x and use VALID-style arithmetic.
+    x: (N, H, W, C) with H, W even; w: (k, k, C, F) with k ODD (the
+    k=4 PatchGAN downsamplers are NOT supported here — their torch
+    padding=1 needs different blocked-tap arithmetic; use a plain
+    strided conv for them). Returns (N, H//2, W//2, F), bit-comparable
+    to ``lax.conv_general_dilated(x, w, (2, 2), padding=[(p, p), ...])``
+    with p = k//2 (torch Conv2d(k, stride=2, padding=k//2)).
     """
     N, H, W, C = x.shape
     k = w.shape[0]

@@ -203,13 +203,18 @@ def main(argv=None):
                                  == 0))
             if args.save_latest_freq and step % args.save_latest_freq == 0:
                 # reference saves latest_net_* every save_latest_freq
-                # (train.py:48-55); with --save_by_iter every such save
-                # is kept as its own step instead of being pruned
-                ckpt.save(step, jax.device_get(state), force=True,
+                # (train.py:48-55) — a single rolling slot, NOT an epoch
+                # snapshot (routing it into the epoch namespace would
+                # evict epoch checkpoints via max_to_keep); with
+                # --save_by_iter every such save is also kept under
+                # iters/ unpruned
+                ckpt.save(step, jax.device_get(state), latest=True,
                           keep=args.save_by_iter)
             if args.max_steps and step >= args.max_steps:
                 stop_evt.set()
-                ckpt.save(step, jax.device_get(state))
+                # force: off-cadence unforced saves are silently skipped
+                # by orbax, losing the final state
+                ckpt.save(step, jax.device_get(state), force=True)
                 print(f"[train] stopped at max_steps={args.max_steps}")
                 return
         ckpt.save(step, jax.device_get(state))

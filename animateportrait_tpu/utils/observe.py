@@ -29,7 +29,6 @@ class LossLogger:
             now = time.strftime("%c")
             f.write(f"================ Training Loss ({now}) ================\n")
         self._t_last = time.time()
-        self._snapshots: list = []
 
     def log(self, epoch: int, iters: int, losses: dict,
             t_comp: float | None = None, t_data: float | None = None):
@@ -49,8 +48,7 @@ class LossLogger:
                  **{k: float(v) for k, v in losses.items()}}) + "\n")
 
     def save_visuals(self, visuals: dict, epoch: int,
-                     iters: int | None = None, update_html: bool = True,
-                     max_snapshots: int = 50):
+                     iters: int | None = None, update_html: bool = True):
         """Image snapshot gallery: <dir>/web/images + index.html.
 
         Reference visualizer parity (visualizer.py:107-143 + util/html.py,
@@ -65,9 +63,6 @@ class LossLogger:
         os.makedirs(img_dir, exist_ok=True)
         tag = (f"epoch{epoch:03d}_iter{iters:07d}" if iters is not None
                else f"epoch{epoch:03d}")
-        title = (f"epoch [{epoch}] iters [{iters}]" if iters is not None
-                 else f"epoch [{epoch}]")
-        rows = []
         for label, img in visuals.items():
             arr = np.asarray(img)
             if arr.ndim == 4:
@@ -78,22 +73,39 @@ class LossLogger:
                 arr = np.repeat(arr, 3, axis=-1)
             fn = f"{tag}_{label}.png"
             cv2.imwrite(os.path.join(img_dir, fn), arr[:, :, ::-1])
-            rows.append((label, fn))
-        self._snapshots.append((title, rows))
-        del self._snapshots[:-max_snapshots]
         if update_html:
             self.write_html_index()
 
     def write_html_index(self):
-        """(Re)write <dir>/web/index.html with all snapshots, newest
-        first (util/html.py gallery equivalent)."""
+        """(Re)write <dir>/web/index.html with ALL snapshots on disk,
+        newest first (util/html.py gallery equivalent).
+
+        Rebuilt from the images directory, not the in-memory list: the
+        reference gallery accumulates every epoch header for the life of
+        the experiment, so a resumed run (fresh logger) or a run past
+        the in-memory cap must not drop older snapshots from the index.
+        """
+        import re
+
         index = os.path.join(self.dir, "web", "index.html")
-        os.makedirs(os.path.dirname(index), exist_ok=True)
+        img_dir = os.path.join(self.dir, "web", "images")
+        os.makedirs(img_dir, exist_ok=True)
+        pat = re.compile(r"^(epoch(\d+)(?:_iter(\d+))?)_(.+)\.png$")
+        groups: dict[tuple, list] = {}
+        for fn in os.listdir(img_dir):
+            m = pat.match(fn)
+            if not m:
+                continue
+            tag, ep, it, label = m.groups()
+            key = (int(ep), -1 if it is None else int(it), tag)
+            groups.setdefault(key, []).append((label, fn))
         with open(index, "w") as f:
             f.write("<html><body><h1>Training results</h1>\n")
-            for title, rows in reversed(self._snapshots):
+            for (ep, it, tag) in sorted(groups, reverse=True):
+                title = (f"epoch [{ep}] iters [{it}]" if it >= 0
+                         else f"epoch [{ep}]")
                 f.write(f"<h3>{title}</h3><table><tr>\n")
-                for label, fn in rows:
+                for label, fn in sorted(groups[(ep, it, tag)]):
                     f.write(f"<td><p>{label}</p>"
                             f"<img src='images/{fn}' width=256></td>\n")
                 f.write("</tr></table>\n")

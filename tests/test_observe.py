@@ -67,6 +67,49 @@ def test_checkpoint_force_and_keep(tmp_path):
     mgr.close()
 
 
+def test_latest_slot_does_not_evict_epoch_saves(tmp_path):
+    """save_latest_freq checkpoints are a single rolling slot (reference
+    latest_net_*, base_model.py:152-156) — they must not count against
+    the epoch namespace's max_to_keep."""
+    from animateportrait_tpu.io.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "orbax"), max_to_keep=3,
+                            save_interval_steps=10)
+    mgr.save(10, {"w": np.full(2, 10, np.float32)})
+    for s in (11, 12, 13, 14):
+        mgr.save(s, {"w": np.full(2, s, np.float32)}, latest=True)
+    # the epoch save survives all latest-cadence saves
+    assert os.path.isdir(tmp_path / "orbax" / "10")
+    # latest/ holds only the newest slot
+    assert os.path.isdir(tmp_path / "orbax" / "latest" / "14")
+    assert not os.path.isdir(tmp_path / "orbax" / "latest" / "13")
+    # resume picks the rolling slot when it is newest
+    assert mgr.latest_step() == 14
+    r = mgr.restore(None, {"w": np.zeros(2, np.float32)})
+    assert float(r["w"][0]) == 14.0
+    # explicit epoch restore still hits the epoch namespace
+    r = mgr.restore(10, {"w": np.zeros(2, np.float32)})
+    assert float(r["w"][0]) == 10.0
+    mgr.close()
+
+
+def test_html_index_survives_logger_restart(tmp_path):
+    """The gallery index is rebuilt from the images on disk, so a resumed
+    run (fresh LossLogger) keeps every older snapshot reachable (the
+    reference's util/html.py gallery accumulates for the experiment's
+    life)."""
+    from animateportrait_tpu.utils.observe import LossLogger
+
+    v = {"fake_B": np.zeros((8, 8, 1), np.float32)}
+    lg1 = LossLogger(str(tmp_path), "exp")
+    lg1.save_visuals(v, epoch=1, iters=100)
+    lg2 = LossLogger(str(tmp_path), "exp")   # resume: new process
+    lg2.save_visuals(v, epoch=2, iters=50)
+    idx = (tmp_path / "exp" / "web" / "index.html").read_text()
+    assert "iters [100]" in idx and "iters [50]" in idx
+    assert idx.index("epoch [2]") < idx.index("epoch [1]")
+
+
 @pytest.mark.slow
 def test_visuals_fn_outputs():
     """build_train_step's attached visuals_fn returns dashboard images +
