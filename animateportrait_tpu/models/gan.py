@@ -298,6 +298,12 @@ def double_feature_warping(x, motion, flow, ifmask, level):
     motion: (N, Hm, Wm, 2) normalized grid; flow: (N, Hf, Wf, 2) pixel flow
     at full res; ifmask: (N, Hf, Wf, 1).
     """
+    # index math ALWAYS in f32: a bf16 normalized grid quantizes to
+    # ~0.008 (half a pixel at 256) and gx+flow at values ~200 loses
+    # ~0.5 px — only the gathered FEATURES should carry the compute
+    # dtype (fractional lerp weights are cast back inside the sampler)
+    motion = motion.astype(jnp.float32)
+    flow = flow.astype(jnp.float32)
     if level > 0:
         size = x.shape[1:3]
         scale = 2 ** level
@@ -313,8 +319,8 @@ def double_feature_warping(x, motion, flow, ifmask, level):
     m_iy = _unnormalize(motion[..., 1], H, align_corners=False)
     # warp_acc_flow quirk (modules.py:596-625): align_corners-True
     # normalization, align_corners-False sampling
-    gx = jnp.arange(W, dtype=x.dtype)[None, None, :]
-    gy = jnp.arange(H, dtype=x.dtype)[None, :, None]
+    gx = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+    gy = jnp.arange(H, dtype=jnp.float32)[None, :, None]
     nx = 2.0 * (gx + flow[..., 0]) / max(W - 1, 1) - 1.0
     ny = 2.0 * (gy + flow[..., 1]) / max(H - 1, 1) - 1.0
     f_ix = _unnormalize(nx, W, align_corners=False)

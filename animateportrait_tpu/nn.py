@@ -64,9 +64,14 @@ class InstanceNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-        var = jnp.var(x, axis=(1, 2), keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        # statistics in f32 regardless of compute dtype: bf16 mean/var
+        # across 64k pixels loses ~3 decimal digits per layer and the
+        # IN chains compound it (measured PSNR 17 dB vs fp32 with bf16
+        # stats on the composed render chain); the upcast is VPU-cheap
+        xs = x.astype(jnp.float32)
+        mean = jnp.mean(xs, axis=(1, 2), keepdims=True)
+        var = jnp.var(xs, axis=(1, 2), keepdims=True)
+        y = ((xs - mean) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
         if self.affine:
             feats = self.features or x.shape[-1]
             scale = self.param("scale", nn.initializers.ones, (feats,))

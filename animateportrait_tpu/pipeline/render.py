@@ -310,11 +310,15 @@ class Module2Renderer:
                                    (B,) + photo_fore.shape[1:])
         a_lm_b = jnp.broadcast_to(a_lm_img, (B,) + a_lm_img.shape[1:])
         if self.use_bf16:
+            # features/images in bf16; motion grids and flows stay f32 —
+            # the generator's warp index math is f32 (a bf16 grid
+            # quantizes to ~half a pixel at 256), so casting them here
+            # would only round-trip-lose precision
             cast = lambda x: x.astype(jnp.bfloat16)  # noqa: E731
             fake_b = self.g.apply(
                 nets["generator"], cast(photo_b), cast(a_lm_b),
-                cast(tb_lm_imgs), cast(motions), cast(flows),
-                cast(fmasks)).astype(jnp.float32)
+                cast(tb_lm_imgs), motions, flows,
+                fmasks).astype(jnp.float32)
         else:
             fake_b = self.g.apply(nets["generator"], photo_b, a_lm_b,
                                   tb_lm_imgs, motions, flows, fmasks)
