@@ -427,16 +427,19 @@ def build_train_step(cfg: Module2Config):
 
     def g_forward(g_params, batch, shared):
         gp = _cast(g_params)
+        # motion grids / flows stay f32: the generator's warp index math
+        # runs f32 regardless (a bf16 grid quantizes to ~half a pixel at
+        # 256), so casting them would only round-trip-lose precision
         fake_B = g_model.apply(
             {"params": gp}, _cast(shared["real_A_fore"]),
             _cast(batch["A_lm"]), _cast(batch["tB_lm"]),
-            _cast(shared["warp_motion"]), _cast(shared["iw_flow"]),
-            _cast(shared["if_mask"])).astype(jnp.float32)
+            shared["warp_motion"], shared["iw_flow"],
+            shared["if_mask"]).astype(jnp.float32)
         fake_B2 = g_model.apply(
             {"params": gp}, _cast(shared["real_A_fore"]),
             _cast(batch["A_lm"]), _cast(batch["tB2_lm"]),
-            _cast(shared["warp_motion2"]), _cast(shared["iw_flow2"]),
-            _cast(shared["if_mask2"])).astype(jnp.float32)
+            shared["warp_motion2"], shared["iw_flow2"],
+            shared["if_mask2"]).astype(jnp.float32)
         if cfg.blendbg:
             fb = shared["fakeB_static"]
             fake_B = ((fake_B / 2 + 0.5) * shared["mask1"]
