@@ -67,6 +67,11 @@ class Module2Config:
     # params + optimizer + losses + TPS solves) — the TPU-native mixed
     # precision recipe. Default f32 matches the reference numerics.
     compute_dtype: str = "float32"
+    # rematerialize the two generator forwards in the backward pass
+    # (jax.checkpoint): trades one extra G forward for not keeping its
+    # activations live across the ~16 discriminator passes — the HBM
+    # lever for larger per-chip batches (grads are bit-identical).
+    remat: bool = False
     steps_per_epoch: int = 1000
     pool_size: int = 50
     gan_mode: str = "lsgan"
@@ -425,21 +430,28 @@ def build_train_step(cfg: Module2Config):
                     warp_motion=warp_motion, warp_motion2=warp_motion2,
                     fakeB_static_warp=fakeB_static_warp)
 
+    def _g_apply(gp, img, l1, l2, motion, flow, ifmask):
+        return g_model.apply({"params": gp}, img, l1, l2, motion, flow,
+                             ifmask).astype(jnp.float32)
+
+    if cfg.remat:
+        _g_apply = jax.checkpoint(_g_apply)
+
     def g_forward(g_params, batch, shared):
         gp = _cast(g_params)
         # motion grids / flows stay f32: the generator's warp index math
         # runs f32 regardless (a bf16 grid quantizes to ~half a pixel at
         # 256), so casting them would only round-trip-lose precision
-        fake_B = g_model.apply(
-            {"params": gp}, _cast(shared["real_A_fore"]),
+        fake_B = _g_apply(
+            gp, _cast(shared["real_A_fore"]),
             _cast(batch["A_lm"]), _cast(batch["tB_lm"]),
             shared["warp_motion"], shared["iw_flow"],
-            shared["if_mask"]).astype(jnp.float32)
-        fake_B2 = g_model.apply(
-            {"params": gp}, _cast(shared["real_A_fore"]),
+            shared["if_mask"])
+        fake_B2 = _g_apply(
+            gp, _cast(shared["real_A_fore"]),
             _cast(batch["A_lm"]), _cast(batch["tB2_lm"]),
             shared["warp_motion2"], shared["iw_flow2"],
-            shared["if_mask2"]).astype(jnp.float32)
+            shared["if_mask2"])
         if cfg.blendbg:
             fb = shared["fakeB_static"]
             fake_B = ((fake_B / 2 + 0.5) * shared["mask1"]

@@ -107,6 +107,9 @@ def build_train_argparser() -> argparse.ArgumentParser:
     p.add_argument("--steps_per_epoch", type=int, default=1000)
     p.add_argument("--data_parallel", type=int, default=0,
                    help="devices in the DP mesh (0 = all)")
+    p.add_argument("--remat", type=int, default=0,
+                   help="rematerialize generator forwards in backward "
+                        "(jax.checkpoint): HBM for larger batches")
     return p
 
 
@@ -124,6 +127,7 @@ def to_configs(args: argparse.Namespace
         lr_policy=args.lr_policy, lr_decay_iters=args.lr_decay_iters,
         init_type=args.init_type, init_gain=args.init_gain,
         compute_dtype=args.compute_dtype,
+        remat=bool(args.remat),
         steps_per_epoch=args.steps_per_epoch,
         pool_size=args.pool_size, gan_mode=args.gan_mode,
         lambda_geom=args.lambda_geom,

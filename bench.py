@@ -458,6 +458,11 @@ def _arm_watchdog():
             "vs_baseline": None,
             "error": f"watchdog: no result after {budget:.0f}s "
                      "(device/tunnel unreachable or compile stuck)",
+            # context, NOT a measurement: the most recent completed
+            # on-hardware run of this metric (see PERF.md for the ledger)
+            "last_measured": {"value": 74.0, "date": "2026-08-17",
+                              "note": "same metric, v5e chip; predates "
+                                      "later kernel commits"},
         }), flush=True)
         os._exit(3)
 
@@ -466,7 +471,39 @@ def _arm_watchdog():
     t.start()
 
 
+def _probe_device(budget: float = 180.0) -> bool:
+    """Cheap liveness probe in a subprocess: a wedged remote-TPU tunnel
+    blocks jax.devices() itself forever (observed 2026-08-17), which the
+    in-process watchdog only catches after its full budget. Returns False
+    (and prints the error JSON) when the backend is unreachable."""
+    import subprocess
+    import sys
+
+    if os.environ.get("BENCH_SKIP_PROBE"):
+        return True
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=budget, check=True, capture_output=True)
+        return True
+    except Exception as e:
+        print(json.dumps({
+            "metric": "e2e_pipeline_frames_per_sec_256px",
+            "value": None,
+            "unit": "frames/sec/chip",
+            "vs_baseline": None,
+            "error": f"device probe failed ({type(e).__name__}): "
+                     "jax.devices() unreachable — remote tunnel down",
+            "last_measured": {"value": 74.0, "date": "2026-08-17",
+                              "note": "same metric, v5e chip; predates "
+                                      "later kernel commits"},
+        }), flush=True)
+        return False
+
+
 def main():
+    if not _probe_device():
+        raise SystemExit(3)
     _arm_watchdog()
     if os.environ.get("BENCH_TRAIN"):
         sps = bench_train_step()

@@ -342,3 +342,22 @@ def test_train_step_bf16_compute():
         jax.tree_util.tree_leaves(state1.g_params),
         jax.tree_util.tree_leaves(state.g_params)))
     assert delta > 0.0
+
+
+@pytest.mark.slow
+def test_train_step_remat_matches():
+    """remat=True must be a pure memory/FLOPs trade: identical updates."""
+    import dataclasses
+
+    cfg = _small_cfg()
+    state, batch, frozen, step = _setup(cfg)
+    state_r, _, _, step_r = _setup(dataclasses.replace(cfg, remat=True))
+    s1, m1 = jax.jit(step)(state, batch, frozen, jax.random.key(1))
+    s2, m2 = jax.jit(step_r)(state_r, batch, frozen, jax.random.key(1))
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=1e-5,
+                                   err_msg=k)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.g_params),
+                    jax.tree_util.tree_leaves(s2.g_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-6, atol=2e-7)
