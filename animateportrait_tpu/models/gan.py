@@ -352,45 +352,87 @@ class TridentGeneratorFullIFW(nn.Module):
     disp: int = 1
     padding_type: str = "reflect"
 
-    @nn.compact
-    def __call__(self, x_in, land1, land2, motion, flow, ifmask):
+    def setup(self):
+        # setup-style (not nn.compact) so inference can split the forward
+        # into a per-photo `encode_static` and a per-frame `decode` with
+        # shared parameters; attribute names keep the checkpoint keys
+        # identical to the nn.compact version (tri00.., merge,
+        # landmark_trans, block0.., up0/1, out)
         ngf = self.ngf
-        # branch 1: warp at full res right after the stem
-        x1 = StemConv7(ngf // 2, name="tri00")(x_in)
-        x1 = double_feature_warping(x1, motion, flow, ifmask, 0)
-        x1 = ConvINReLU(ngf * 2, stride=2, name="tri01")(x1)
-        x1 = ConvINReLU(ngf * 4, stride=2, name="tri02")(x1)
-        # branch 2: warp at 1/2 res
-        x2 = StemConv7(ngf, name="tri10")(x_in)
-        x2 = ConvINReLU(ngf, stride=2, name="tri11")(x2)
-        x2 = double_feature_warping(x2, motion, flow, ifmask, 1)
-        x2 = ConvINReLU(ngf * 4, stride=2, name="tri12")(x2)
-        # branch 3: warp at 1/4 res
-        x3 = StemConv7(ngf, name="tri20")(x_in)
-        x3 = ConvINReLU(ngf * 2, stride=2, name="tri21")(x3)
-        x3 = ConvINReLU(ngf * 2, stride=2, name="tri22")(x3)
-        x3 = double_feature_warping(x3, motion, flow, ifmask, 2)
-
-        x = jnp.concatenate([x1, x2, x3], axis=-1)
-        x = nn.Conv(ngf * 4, (3, 3), padding=1, name="merge")(x)
-
-        lenc = LandmarkEncoder(name="landmark_trans")
-        l1, l2 = lenc(land1), lenc(land2)
-
+        self.tri00 = StemConv7(ngf // 2)
+        self.tri01 = ConvINReLU(ngf * 2, stride=2)
+        self.tri02 = ConvINReLU(ngf * 4, stride=2)
+        self.tri10 = StemConv7(ngf)
+        self.tri11 = ConvINReLU(ngf, stride=2)
+        self.tri12 = ConvINReLU(ngf * 4, stride=2)
+        self.tri20 = StemConv7(ngf)
+        self.tri21 = ConvINReLU(ngf * 2, stride=2)
+        self.tri22 = ConvINReLU(ngf * 2, stride=2)
+        self.merge = nn.Conv(ngf * 4, (3, 3), padding=1)
+        self.landmark_trans = LandmarkEncoder()
+        blocks = []
         for i in range(self.n_blocks):
             if (i + self.disp) % self.div == 0:
-                x = ResnetBlock2(ngf * 4, self.padding_type,
-                                 name=f"block{i}")(
-                    jnp.concatenate([x, l1, l2], axis=-1))
+                blocks.append(ResnetBlock2(ngf * 4, self.padding_type,
+                                           name=f"block{i}"))
             else:
-                x = ResnetBlock(ngf * 4, self.padding_type,
-                                name=f"block{i}")(x)
+                blocks.append(ResnetBlock(ngf * 4, self.padding_type,
+                                          name=f"block{i}"))
+        self.blocks = blocks
+        self.up0 = Upsample2x(ngf * 2)
+        self.up1 = Upsample2x(ngf)
+        self.out = OutConv7(self.output_nc)
 
-        x = Upsample2x(ngf * 2, name="up0")(x)
-        x = Upsample2x(ngf, name="up1")(x)
+    def encode_static(self, x_in, land1):
+        """The frame-invariant half of the forward: photo stems up to each
+        branch's warp point + the source-landmark encoding. At inference
+        the photo and source landmarks are constant over the whole video,
+        so the renderer computes this ONCE per photo (batch 1) and reuses
+        it across every frame batch — `decode` broadcasts as needed."""
+        return {
+            "s1": self.tri00(x_in),
+            "s2": self.tri11(self.tri10(x_in)),
+            "s3": self.tri22(self.tri21(self.tri20(x_in))),
+            "l1": self.landmark_trans(land1),
+        }
+
+    def decode(self, cache, land2, motion, flow, ifmask):
+        """Per-frame half: warps, post-warp encoder convs, bottleneck,
+        decoder. `cache` entries may carry batch 1; they are broadcast to
+        the frame batch."""
+        B = motion.shape[0]
+        bc = lambda t: jnp.broadcast_to(t, (B,) + t.shape[1:])  # noqa: E731
+        # branch 1: warp at full res right after the stem
+        x1 = double_feature_warping(bc(cache["s1"]), motion, flow,
+                                    ifmask, 0)
+        x1 = self.tri02(self.tri01(x1))
+        # branch 2: warp at 1/2 res
+        x2 = double_feature_warping(bc(cache["s2"]), motion, flow,
+                                    ifmask, 1)
+        x2 = self.tri12(x2)
+        # branch 3: warp at 1/4 res
+        x3 = double_feature_warping(bc(cache["s3"]), motion, flow,
+                                    ifmask, 2)
+
+        x = jnp.concatenate([x1, x2, x3], axis=-1)
+        x = self.merge(x)
+
+        l1, l2 = bc(cache["l1"]), self.landmark_trans(land2)
+        for i in range(self.n_blocks):
+            if (i + self.disp) % self.div == 0:
+                x = self.blocks[i](jnp.concatenate([x, l1, l2], axis=-1))
+            else:
+                x = self.blocks[i](x)
+
+        x = self.up0(x)
+        x = self.up1(x)
         x = reflect_pad_2d(x, 3)
-        x = OutConv7(self.output_nc, name="out")(x)
+        x = self.out(x)
         return jnp.tanh(x)
+
+    def __call__(self, x_in, land1, land2, motion, flow, ifmask):
+        return self.decode(self.encode_static(x_in, land1), land2,
+                           motion, flow, ifmask)
 
 
 class NLayerDiscriminator(nn.Module):

@@ -239,6 +239,7 @@ class Module2Renderer:
         self._frame_nets = put({"generator": self.v.generator,
                                 "flowunet": self.v.flowunet})
         self._prep_jit = jax.jit(self._prepare)
+        self._encode_jit = jax.jit(self._encode)
         self._frames_jit = jax.jit(self._frames)
 
     # --- once per photo ---
@@ -270,8 +271,20 @@ class Module2Renderer:
         photo_fore = ((photo / 2 + 0.5) * mask + 1 - mask) * 2 - 1
         return photo_fore, mask, fake_static
 
+    # --- once per photo: frame-invariant generator work ---
+    def _encode(self, nets, photo_fore, a_lm68):
+        """The generator's photo stems + source-landmark encoding are
+        constant over the whole video; compute them once (batch 1) and
+        let `decode` broadcast across every frame batch."""
+        a_lm_img = landmark_dot_images(a_lm68, self.crop_size)
+        if self.use_bf16:
+            photo_fore = photo_fore.astype(jnp.bfloat16)
+            a_lm_img = a_lm_img.astype(jnp.bfloat16)
+        return self.g.apply(nets["generator"], photo_fore, a_lm_img,
+                            method=TridentGeneratorFullIFW.encode_static)
+
     # --- per frame batch ---
-    def _frames(self, nets, photo_fore, mask, fake_static,
+    def _frames(self, nets, g_cache, mask, fake_static,
                 a_lm68, tb_lm68s, motions=None):
         B = tb_lm68s.shape[0]
         cs = self.crop_size
@@ -285,7 +298,6 @@ class Module2Renderer:
         # landmark dot images rasterized ON DEVICE from the 68 coords
         # (cv2-exact): only 68x2 floats cross the host->device link per
         # frame instead of a 64 KB image
-        a_lm_img = landmark_dot_images(a_lm68, cs)
         tb_lm_imgs = landmark_dot_images(tb_lm68s, cs)
 
         def flow_for(lm2):
@@ -306,22 +318,22 @@ class Module2Renderer:
 
         flows, fmasks = jax.vmap(flow_for)(tb_lm68s)
 
-        photo_b = jnp.broadcast_to(photo_fore,
-                                   (B,) + photo_fore.shape[1:])
-        a_lm_b = jnp.broadcast_to(a_lm_img, (B,) + a_lm_img.shape[1:])
+        # the frame-invariant half (photo stems + source-landmark
+        # encoding) comes in precomputed as g_cache; decode broadcasts
+        # its batch-1 entries over the frame batch
         if self.use_bf16:
             # features/images in bf16; motion grids and flows stay f32 —
             # the generator's warp index math is f32 (a bf16 grid
             # quantizes to ~half a pixel at 256), so casting them here
             # would only round-trip-lose precision
-            cast = lambda x: x.astype(jnp.bfloat16)  # noqa: E731
             fake_b = self.g.apply(
-                nets["generator"], cast(photo_b), cast(a_lm_b),
-                cast(tb_lm_imgs), motions, flows,
-                fmasks).astype(jnp.float32)
+                nets["generator"], g_cache,
+                tb_lm_imgs.astype(jnp.bfloat16), motions, flows, fmasks,
+                method=TridentGeneratorFullIFW.decode).astype(jnp.float32)
         else:
-            fake_b = self.g.apply(nets["generator"], photo_b, a_lm_b,
-                                  tb_lm_imgs, motions, flows, fmasks)
+            fake_b = self.g.apply(nets["generator"], g_cache, tb_lm_imgs,
+                                  motions, flows, fmasks,
+                                  method=TridentGeneratorFullIFW.decode)
         mask1 = grid_sample(
             jnp.broadcast_to(mask, (B,) + mask.shape[1:]), motions,
             align_corners=True)
@@ -350,9 +362,11 @@ class Module2Renderer:
         photo = jnp.asarray(photo, jnp.float32)[None]
         a68 = jnp.asarray(a_lm68, jnp.float32)[None]
         prep = self._prep_jit(self._prep_nets, photo)
+        g_cache = self._encode_jit(self._frame_nets, prep[0], a68)
         if self._mesh is not None:
             # replicate the per-photo tensors across the frame mesh
             prep = jax.device_put(prep, self._repl_sharding)
+            g_cache = jax.device_put(g_cache, self._repl_sharding)
             a68 = jax.device_put(a68, self._repl_sharding)
 
         T = tb_lm68s.shape[0]
@@ -377,7 +391,8 @@ class Module2Renderer:
                     mo_batch = jax.device_put(mo_batch,
                                               self._batch_sharding)
             out = self._frames_jit(
-                self._frame_nets, *prep, a68, lm_batch, mo_batch)
+                self._frame_nets, g_cache, prep[1], prep[2], a68,
+                lm_batch, mo_batch)
             # keep the device array and start its host copy in the
             # background — a synchronous np.asarray here would stall the
             # dispatch pipeline on every batch (compute, then transfer,

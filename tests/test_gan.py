@@ -308,3 +308,32 @@ def test_gan_loss_modes():
     # wgangp
     np.testing.assert_allclose(
         float(gan_loss(pred, True, "wgangp")), -float(tp.mean()), atol=1e-6)
+
+
+def test_trident_encode_decode_matches_call():
+    """encode_static (batch-1 photo cache) + decode must equal __call__
+    bit-for-bit — the renderer relies on this split to hoist the
+    frame-invariant stems out of the per-frame program."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from animateportrait_tpu.models.gan import TridentGeneratorFullIFW
+
+    rng = np.random.default_rng(0)
+    H = 64
+    mk = lambda *s: jnp.asarray(rng.uniform(-1, 1, s), jnp.float32)
+    photo, l1 = mk(1, H, H, 3), mk(1, H, H, 1)
+    l2, motion, flow = mk(3, H, H, 1), mk(3, H, H, 2), mk(3, H, H, 2)
+    ifmask = jnp.ones((3, H, H, 1), jnp.float32)
+    g = TridentGeneratorFullIFW(output_nc=1, ngf=8, n_blocks=9, div=3,
+                                disp=3)
+    full = (jnp.broadcast_to(photo, (3, H, H, 3)),
+            jnp.broadcast_to(l1, (3, H, H, 1)), l2, motion, flow, ifmask)
+    v = g.init(jax.random.key(0), *full)
+    want = g.apply(v, *full)
+    cache = g.apply(v, photo, l1,
+                    method=TridentGeneratorFullIFW.encode_static)
+    got = g.apply(v, cache, l2, motion, flow, ifmask,
+                  method=TridentGeneratorFullIFW.decode)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
