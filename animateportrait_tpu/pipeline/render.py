@@ -300,8 +300,11 @@ class Module2Renderer:
         # frame instead of a 64 KB image
         tb_lm_imgs = landmark_dot_images(tb_lm68s, cs)
 
+        # source heatmap stack is frame-invariant: build once, closed over
+        # by the vmapped per-frame body instead of materialized B times
+        j1 = kp_to_map_binary((224, 224), a_lm68[0] * (7.0 / 8.0))
+
         def flow_for(lm2):
-            j1 = kp_to_map_binary((224, 224), a_lm68[0] * (7.0 / 8.0))
             j2 = kp_to_map_binary((224, 224), lm2 * (7.0 / 8.0))
             inp = jnp.concatenate([j1, j2], axis=-1)[None]
             if self.use_bf16:
