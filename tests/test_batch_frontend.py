@@ -13,6 +13,7 @@ WEIGHTS = "/root/reference/MTCNN/weights"
 
 @pytest.mark.skipif(not os.path.exists(os.path.join(WEIGHTS, "pnet.npy")),
                     reason="reference weights not mounted")
+@pytest.mark.slow
 def test_detect_faces_batch_matches_single():
     import cv2
     from animateportrait_tpu.models.mtcnn import (

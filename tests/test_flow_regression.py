@@ -2,6 +2,7 @@
 import numpy as np
 import torch
 
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -39,6 +40,7 @@ def test_multi_scale_flow_loss_parity(rng):
     np.testing.assert_allclose(float(e), float(te), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_flow_train_step(rng):
     from animateportrait_tpu.train.flow_regression import (
         FlowRegConfig, build_flow_train_step, init_flow_state)

@@ -228,6 +228,7 @@ def _torch_warp_acc_flow(x, flow):
     return F.grid_sample(x, grid)
 
 
+@pytest.mark.slow
 def test_dual_unet_parity_with_warp():
     nf, max_nf, scales, warp_scales, n_res = 4, 8, 3, 2, 1
     torch.manual_seed(0)

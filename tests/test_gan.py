@@ -321,12 +321,12 @@ def test_trident_encode_decode_matches_call():
     from animateportrait_tpu.models.gan import TridentGeneratorFullIFW
 
     rng = np.random.default_rng(0)
-    H = 64
+    H = 32
     mk = lambda *s: jnp.asarray(rng.uniform(-1, 1, s), jnp.float32)
     photo, l1 = mk(1, H, H, 3), mk(1, H, H, 1)
     l2, motion, flow = mk(3, H, H, 1), mk(3, H, H, 2), mk(3, H, H, 2)
     ifmask = jnp.ones((3, H, H, 1), jnp.float32)
-    g = TridentGeneratorFullIFW(output_nc=1, ngf=8, n_blocks=9, div=3,
+    g = TridentGeneratorFullIFW(output_nc=1, ngf=8, n_blocks=3, div=3,
                                 disp=3)
     full = (jnp.broadcast_to(photo, (3, H, H, 3)),
             jnp.broadcast_to(l1, (3, H, H, 1)), l2, motion, flow, ifmask)

@@ -9,6 +9,7 @@ import jax
 import jax.numpy as jnp
 
 
+@pytest.mark.slow
 def test_unet_generator_parity(rng):
     """unet_128-shaped generator vs a torch replica (InstanceNorm)."""
     from animateportrait_tpu.models.gan_extra import UnetGenerator

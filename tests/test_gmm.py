@@ -5,6 +5,7 @@ import torch
 import torch.nn as tnn
 import torch.nn.functional as F
 
+import pytest
 import jax.numpy as jnp
 
 from animateportrait_tpu.models.image_translation import (
@@ -136,6 +137,7 @@ def test_affine_grid_matches_torch():
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_gmm_parity():
     torch.manual_seed(0)
     tmodel = _TGMM(input_nc=1).eval()

@@ -22,6 +22,7 @@ def test_resunet_smoke(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_vgg19_slices_and_losses(rng):
     from animateportrait_tpu.models.image_translation import (
         Vgg19Features, gram_matrix, vgg_loss)

@@ -156,6 +156,7 @@ def test_landmark_predictor_smoke(rng):
     assert np.isfinite(fl).all()
 
 
+@pytest.mark.slow
 def test_predictor_extra_options(rng):
     """centerize_face / no_y_rotation / content-only variants."""
     import jax

@@ -6,6 +6,7 @@ import torch
 import torch.nn as tnn
 import torch.nn.functional as F
 
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -122,6 +123,7 @@ def _run_parity(name, build, loader, size):
                                tval.numpy().ravel(), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_pnetlin_vgg_parity():
     _run_parity("vgg", _torch_vgg16_features, load_vgg16_features, 64)
 
@@ -130,6 +132,7 @@ def test_pnetlin_alex_parity():
     _run_parity("alex", _torch_alexnet_features, load_alexnet_features, 64)
 
 
+@pytest.mark.slow
 def test_pnetlin_squeeze_parity():
     _run_parity("squeeze", _torch_squeezenet_features,
                 load_squeezenet_features, 64)

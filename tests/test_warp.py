@@ -116,6 +116,7 @@ def test_sample_bicubic_matches_torch_border():
                                atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sample_bilinear_chunked_matches_unchunked(monkeypatch):
     """Force tiny gather-chunk limits: results must be identical."""
     import numpy as np
