@@ -71,6 +71,12 @@ class _ConvNorm(nn.Module):
         return x
 
 
+def _act(x, slope: float = 0.0):
+    """The networks' configurable activation (G_activation): relu by
+    default, leaky_relu(slope) when ``slope`` > 0."""
+    return nn.leaky_relu(x, slope) if slope else nn.relu(x)
+
+
 class ResidualBlock(nn.Module):
     """networks.py:26-60. ``dim_a`` > 0 adds a second input mapped through a
     1x1 conv and concatenated before the 3x3 residual conv. Dropout is an
@@ -79,18 +85,19 @@ class ResidualBlock(nn.Module):
     dim: int
     dim_a: int = 0
     no_end_norm: bool = False
+    slope: float = 0.0
 
     @nn.compact
     def __call__(self, x, a=None, train: bool = False):
         if self.dim_a > 0:
             a = _ConvNorm(self.dim, kernel=1, name="conv_a")(
-                nn.relu(a), train)
+                _act(a, self.slope), train)
             residual = jnp.concatenate([x, a], axis=-1)
         else:
             residual = x
         residual = _ConvNorm(self.dim, kernel=3, padding=1,
                              end_norm=not self.no_end_norm,
-                             name="conv")(nn.relu(residual), train)
+                             name="conv")(_act(residual, self.slope), train)
         return x + residual
 
 
@@ -109,11 +116,12 @@ class _Downsample(nn.Module):
     """[activation, Conv2d k3 s2 p1, norm] (networks.py:297-302)."""
 
     features: int
+    slope: float = 0.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.features, (3, 3), strides=2, padding=1,
-                    use_bias=False, name="conv")(nn.relu(x))
+                    use_bias=False, name="conv")(_act(x, self.slope))
         return _BN(name="norm")(x, train)
 
 
@@ -122,11 +130,12 @@ class _Upsample(nn.Module):
     (networks.py:337-343)."""
 
     features: int  # channels after the shuffle
+    slope: float = 0.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.features * 4, (3, 3), padding=1, use_bias=False,
-                    name="conv")(nn.relu(x))
+                    name="conv")(_act(x, self.slope))
         x = pixel_shuffle(x, 2)
         return _BN(name="norm")(x, train)
 
@@ -304,6 +313,99 @@ class DualUnetGenerator(nn.Module):
         return out
 
 
+class IFUnetGenerator(nn.Module):
+    """The intrinsic-flow UnetGenerator (networks.py:76-150): a Unet with
+    ``n_residual_blocks`` residual blocks per scale instead of plain convs,
+    strided-conv downsampling, pixel-shuffle upsampling, and skip
+    connections feeding the decoder residual blocks through their 1x1
+    ``dim_a`` side input. Used by PoseTransferModel with
+    ``which_model_G == 'unet'`` (pose_transfer_model.py:26-38).
+
+    __call__(x (N,H,W,input_nc)) -> (N,H,W,output_nc), pre-tanh.
+    ``slope`` > 0 selects the leaky_relu G_activation variant.
+    """
+
+    output_nc: int = 3
+    nf: int = 64
+    max_nf: int = 256
+    num_scales: int = 7
+    n_residual_blocks: int = 2
+    slope: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        nf, max_nf, slope = self.nf, self.max_nf, self.slope
+        chans = [min(nf * (l + 1), max_nf)
+                 for l in range(self.num_scales + 1)]
+        x = _ConvNorm(nf, kernel=1, name="pre_conv")(x, train)
+        hiddens = []
+        for l in range(self.num_scales):
+            for i in range(self.n_residual_blocks):
+                x = ResidualBlock(chans[l], slope=slope,
+                                  name=f"enc_{l}_res_{i}")(x, train=train)
+                hiddens.append(x)
+            x = _Downsample(chans[l + 1], slope=slope,
+                            name=f"enc_{l}_down")(x, train)
+        for l in range(self.num_scales - 1, -1, -1):
+            x = _Upsample(chans[l], slope=slope,
+                          name=f"dec_{l}_up")(x, train)
+            for i in range(self.n_residual_blocks - 1, -1, -1):
+                h = hiddens.pop()
+                x = ResidualBlock(chans[l], dim_a=chans[l], slope=slope,
+                                  name=f"dec_{l}_res_{i}")(x, h, train=train)
+        xp = jnp.pad(x, [(0, 0), (3, 3), (3, 3), (0, 0)], mode="reflect")
+        return nn.Conv(self.output_nc, (7, 7), padding=0,
+                       name="dec_output")(xp)
+
+
+class IFUnetGeneratorMultiOutput(nn.Module):
+    """UnetGenerator_MultiOutput (networks.py:151-231): the IFUnetGenerator
+    trunk with one [1x1 conv-norm, act, reflect-pad, 7x7 conv] head per
+    entry of ``output_nc``. PoseTransferModel's external pixel warper netPW
+    uses it with output_nc=[1] (pose_transfer_model.py:62-79).
+
+    __call__(x) -> list of (N,H,W,c) heads (pre-sigmoid).
+    """
+
+    output_nc: tuple = (1,)
+    nf: int = 32
+    max_nf: int = 128
+    num_scales: int = 7
+    n_residual_blocks: int = 2
+    slope: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        nf, max_nf, slope = self.nf, self.max_nf, self.slope
+        chans = [min(nf * (l + 1), max_nf)
+                 for l in range(self.num_scales + 1)]
+        x = _ConvNorm(nf, kernel=1, name="pre_conv")(x, train)
+        hiddens = []
+        for l in range(self.num_scales):
+            for i in range(self.n_residual_blocks):
+                x = ResidualBlock(chans[l], slope=slope,
+                                  name=f"enc_{l}_res_{i}")(x, train=train)
+                hiddens.append(x)
+            x = _Downsample(chans[l + 1], slope=slope,
+                            name=f"enc_{l}_down")(x, train)
+        for l in range(self.num_scales - 1, -1, -1):
+            x = _Upsample(chans[l], slope=slope,
+                          name=f"dec_{l}_up")(x, train)
+            for i in range(self.n_residual_blocks - 1, -1, -1):
+                h = hiddens.pop()
+                x = ResidualBlock(chans[l], dim_a=chans[l], slope=slope,
+                                  name=f"dec_{l}_res_{i}")(x, h, train=train)
+        outs = []
+        for i, c in enumerate(self.output_nc):
+            y = _ConvNorm(nf, kernel=1, name=f"out_{i}_map")(x, train)
+            y = _act(y, slope)
+            yp = jnp.pad(y, [(0, 0), (3, 3), (3, 3), (0, 0)],
+                         mode="reflect")
+            outs.append(nn.Conv(c, (7, 7), padding=0,
+                                name=f"out_{i}_conv")(yp))
+        return outs
+
+
 # ---------------------------------------------------------------------------
 # torch checkpoint converters
 # ---------------------------------------------------------------------------
@@ -379,6 +481,41 @@ def load_flowunet_v2_params(sd, nf=64, max_nf=256, start_scale=2,
         put(f"dec_{l}_up", _seq_up(sd, f"dec_{l}_upsample"))
         params[f"flow_{l}"] = {"conv": tc.conv2d(sd, f"pred_flow_{l}.1")}
     params["vis"] = {"conv": tc.conv2d(sd, "pred_vis.1")}
+    return {"params": params, "batch_stats": stats}
+
+
+def load_if_unet_params(sd, num_scales=7, n_residual_blocks=2,
+                        multi_output_nc=()) -> dict:
+    """torch UnetGenerator / UnetGenerator_MultiOutput state dict ->
+    IFUnetGenerator(MultiOutput) variables. Pass ``multi_output_nc``
+    (e.g. (1,)) for the multi-output variant's per-head weights."""
+    from animateportrait_tpu.io import torch_convert as tc
+
+    sd = tc.strip_module_prefix(sd)
+    params, stats = {}, {}
+
+    def put(name, pair):
+        p, s = pair
+        params[name] = p
+        if s:
+            stats[name] = s
+
+    put("pre_conv", _convnorm(sd, "pre_conv"))
+    for l in range(num_scales):
+        put(f"enc_{l}_down", _seq_down(sd, f"enc_{l}_downsample"))
+        put(f"dec_{l}_up", _seq_up(sd, f"dec_{l}_upsample"))
+        for i in range(n_residual_blocks):
+            put(f"enc_{l}_res_{i}", _resblock(sd, f"enc_{l}_res_{i}"))
+            put(f"dec_{l}_res_{i}", _resblock(sd, f"dec_{l}_res_{i}",
+                                              dim_a=1))
+    if multi_output_nc:
+        # dec_output_%d = Sequential(channel_mapping, act, pad, conv)
+        for i in range(len(multi_output_nc)):
+            put(f"out_{i}_map", _convnorm(sd, f"dec_output_{i}.0"))
+            params[f"out_{i}_conv"] = tc.conv2d(sd, f"dec_output_{i}.3")
+    else:
+        # dec_output = Sequential(ReflectionPad2d, Conv2d)
+        params["dec_output"] = tc.conv2d(sd, "dec_output.1")
     return {"params": params, "batch_stats": stats}
 
 

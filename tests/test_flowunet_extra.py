@@ -272,3 +272,99 @@ def test_dual_unet_no_flow_and_aux():
     variables = model.init(jax.random.key(0), x_p, x_a)
     out, aux = model.apply(variables, x_p, x_a)
     assert out.shape == (1, 8, 8, 3) and aux[0].shape == (1, 8, 8, 2)
+
+
+class _TIFUnet(tnn.Module):
+    """intrinsic_flow_models/networks.py:76-231 UnetGenerator (+ multi
+    output heads when out_ncs is a list)."""
+
+    def __init__(self, input_nc, out_ncs, nf, max_nf, scales, n_res):
+        super().__init__()
+        self.scales, self.n_res = scales, n_res
+        self.multi = isinstance(out_ncs, (list, tuple))
+        self.pre_conv = _chanmap(input_nc, nf)
+        for l in range(scales):
+            ci = min(nf * (l + 1), max_nf)
+            co = min(nf * (l + 2), max_nf)
+            for i in range(n_res):
+                setattr(self, f"enc_{l}_res_{i}", _TResBlock(ci))
+                setattr(self, f"dec_{l}_res_{i}", _TResBlock(ci, ci))
+            setattr(self, f"enc_{l}_downsample", _down(ci, co))
+            setattr(self, f"dec_{l}_upsample", _up(co, ci))
+        if self.multi:
+            for i, c in enumerate(out_ncs):
+                setattr(self, f"dec_output_{i}", tnn.Sequential(
+                    _chanmap(nf, nf), tnn.ReLU(False),
+                    tnn.ReflectionPad2d(3), tnn.Conv2d(nf, c, 7, bias=True)))
+        else:
+            self.dec_output = tnn.Sequential(
+                tnn.ReflectionPad2d(3), tnn.Conv2d(nf, out_ncs, 7, bias=True))
+
+    def forward(self, x):
+        hiddens = []
+        x = self.pre_conv(x)
+        for l in range(self.scales):
+            for i in range(self.n_res):
+                x = getattr(self, f"enc_{l}_res_{i}")(x)
+                hiddens.append(x)
+            x = getattr(self, f"enc_{l}_downsample")(x)
+        for l in range(self.scales - 1, -1, -1):
+            x = getattr(self, f"dec_{l}_upsample")(x)
+            for i in range(self.n_res - 1, -1, -1):
+                x = getattr(self, f"dec_{l}_res_{i}")(x, hiddens.pop())
+        if self.multi:
+            return [getattr(self, f"dec_output_{i}")(x)
+                    for i in range(len([m for m in dir(self)
+                                        if m.startswith("dec_output_")]))]
+        return self.dec_output(x)
+
+
+def test_if_unet_parity():
+    from animateportrait_tpu.models.flowunet_extra import (
+        IFUnetGenerator, load_if_unet_params)
+
+    nf, max_nf, scales, n_res = 4, 8, 3, 2
+    torch.manual_seed(3)
+    tmodel = _TIFUnet(5, 3, nf, max_nf, scales, n_res).eval()
+    with torch.no_grad():
+        _randomize_bn(tmodel, np.random.default_rng(4))
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    variables = load_if_unet_params(sd, num_scales=scales,
+                                    n_residual_blocks=n_res)
+    model = IFUnetGenerator(output_nc=3, nf=nf, max_nf=max_nf,
+                            num_scales=scales, n_residual_blocks=n_res)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((1, 16, 16, 5)).astype(np.float32)
+    with torch.no_grad():
+        tout = tmodel(torch.tensor(x).permute(0, 3, 1, 2))
+    jout = model.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(jout),
+                               tout.permute(0, 2, 3, 1).numpy(), atol=2e-4)
+
+
+def test_if_unet_multi_output_parity():
+    from animateportrait_tpu.models.flowunet_extra import (
+        IFUnetGeneratorMultiOutput, load_if_unet_params)
+
+    nf, max_nf, scales, n_res = 4, 8, 2, 1
+    torch.manual_seed(6)
+    tmodel = _TIFUnet(9, [1, 2], nf, max_nf, scales, n_res).eval()
+    with torch.no_grad():
+        _randomize_bn(tmodel, np.random.default_rng(7))
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    variables = load_if_unet_params(sd, num_scales=scales,
+                                    n_residual_blocks=n_res,
+                                    multi_output_nc=(1, 2))
+    model = IFUnetGeneratorMultiOutput(output_nc=(1, 2), nf=nf,
+                                       max_nf=max_nf, num_scales=scales,
+                                       n_residual_blocks=n_res)
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((1, 8, 8, 9)).astype(np.float32)
+    with torch.no_grad():
+        touts = tmodel(torch.tensor(x).permute(0, 3, 1, 2))
+    jouts = model.apply(variables, jnp.asarray(x))
+    assert len(jouts) == 2
+    for j, t in zip(jouts, touts):
+        np.testing.assert_allclose(np.asarray(j),
+                                   t.permute(0, 2, 3, 1).numpy(),
+                                   atol=2e-4)
