@@ -16,6 +16,7 @@ umlvdfw_test_dataset.py`) with an in-memory, frame-batched pipeline:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable
 
 import numpy as np
@@ -201,6 +202,13 @@ class Module2Renderer:
         self.crop_size = crop_size
         self.frame_batch = frame_batch
         self.output_uint8 = output_uint8
+        # AP_FETCH=overlap: start each batch's host copy right after
+        # its dispatch (copy rides the link while later batches
+        # compute) and concat on host. Default "bulk": one device-side
+        # concat + one transfer at the end. Which wins depends on the
+        # link: bulk minimizes round trips (tunnel), overlap hides
+        # transfer time behind compute (local PCIe/ICI).
+        self._fetch_mode = os.environ.get("AP_FETCH", "bulk")
         # checkpoint variables enter the jits as ARGUMENTS — closing
         # over them inlines hundreds of MB of weight literals into the
         # program, which makes XLA compiles take minutes and defeats any
@@ -396,21 +404,30 @@ class Module2Renderer:
             out = self._frames_jit(
                 self._frame_nets, g_cache, prep[1], prep[2], a68,
                 lm_batch, mo_batch)
-            # keep the device array and start its host copy in the
-            # background — a synchronous np.asarray here would stall the
-            # dispatch pipeline on every batch (compute, then transfer,
-            # then idle device while the host prepares the next batch)
-            try:
-                out.copy_to_host_async()
-            except AttributeError:
-                pass
+            # keep the device array and (overlap mode) start its host
+            # copy in the background — a synchronous np.asarray here
+            # would stall the dispatch pipeline on every batch (compute,
+            # then transfer, then idle device while the host prepares
+            # the next batch)
+            if self._fetch_mode == "overlap":
+                try:
+                    out.copy_to_host_async()
+                except AttributeError:
+                    pass
             outs.append(out)
             if progress is not None:
                 progress(min(j + fb, T), T)
-        # fetch as ONE bulk transfer: per-batch np.asarray costs a full
-        # tunnel round trip each (~0.45 s/batch measured); a single
-        # device-side concat + one fetch moves the same bytes at link
-        # speed
+        if self._fetch_mode == "overlap":
+            # per-batch host copies were started right after each
+            # dispatch, so they ride the link WHILE later batches
+            # compute; each np.asarray below just waits for its
+            # already-running copy instead of paying a fresh round trip
+            host = [np.asarray(o) for o in outs]
+            return (host[0] if len(host) == 1
+                    else np.concatenate(host, axis=0))[:T]
+        # bulk (default): ONE transfer of one device-side concat —
+        # per-batch synchronous np.asarray costs a full tunnel round
+        # trip each (~0.45 s/batch measured)
         frames_dev = outs[0] if len(outs) == 1 else jnp.concatenate(
             outs, axis=0)
         return np.asarray(frames_dev)[:T]

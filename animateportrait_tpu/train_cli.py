@@ -34,11 +34,41 @@ def main(argv=None):
                         help="dir with converted frozen-net checkpoints")
     parser.add_argument("--max_steps", type=int, default=0,
                         help="stop after N steps (0 = run all epochs)")
+    # multi-host SPMD: one process per host, the SAME single-program
+    # train step over the global device mesh (ICI within host/slice, DCN
+    # across); each process loads its own shard of every batch. On TPU
+    # pods the coordinator/process args auto-detect from the TPU env.
+    parser.add_argument("--multihost", type=int, default=0)
+    parser.add_argument("--coordinator_address", default=None)
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     args = parser.parse_args(argv)
-    print(archive_options(args))
     cfg, data_cfg = to_configs(args)
 
     import jax
+
+    # AP_PLATFORM=cpu forces the backend (tests / multihost-on-CPU): the
+    # JAX_PLATFORMS env var is ineffective when a site hook (e.g. the
+    # axon register) has already pinned jax_platforms via config update
+    # in every interpreter — only another config update overrides it
+    if os.environ.get("AP_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["AP_PLATFORM"])
+    if args.multihost:
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id)
+    proc0 = jax.process_index() == 0
+    if proc0:
+        print(archive_options(args))
+
+    import time as _time
+    _t0 = _time.time()
+
+    def _stage(name):
+        if os.environ.get("AP_MH_DEBUG"):
+            print(f"[stage +{_time.time() - _t0:7.1f}s] {name}",
+                  file=sys.stderr, flush=True)
 
     from animateportrait_tpu.utils.observe import enable_compile_cache
     enable_compile_cache()
@@ -50,19 +80,29 @@ def main(argv=None):
     from animateportrait_tpu.train import module2 as m2
     from animateportrait_tpu.utils.observe import LossLogger, StepTimer
 
+    _stage("dataset")
     ds = UMLVDIFWDataset(data_cfg)
     if len(ds.A_paths) == 0:
         raise SystemExit(f"no photos under {data_cfg.root}/Photo")
 
+    n_proc = jax.process_count()
     n_dev = args.data_parallel or len(jax.devices())
+    if n_proc > 1:
+        n_dev = len(jax.devices())  # multihost: always the global mesh
     devices = jax.devices()[:n_dev]
     mesh = Mesh(np.array(devices), ("data",))
     batch_sharding = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
-    per_step = max(args.batch_size, n_dev)
+    # round the global batch up to the device count: every device gets
+    # equal shards (uneven GSPMD shards break the multihost
+    # make_array_from_process_local_data assembly), and devices are
+    # distributed evenly over processes so per-process counts follow
+    per_step = -(-max(args.batch_size, n_dev) // n_dev) * n_dev
+    local_per_step = per_step // n_proc
 
     rng = jax.random.key(0)
     example = m2.make_example_batch(cfg, batch_size=per_step)
+    _stage("init_state")
     state = m2.init_state(cfg, rng, example)
 
     def load_frozen():
@@ -103,27 +143,91 @@ def main(argv=None):
                 updates[name] = v
         return frozen.replace(**updates) if updates else frozen
 
+    _stage("load_frozen")
     frozen = load_frozen()
     # donate the train state so XLA reuses its buffers in place — the
     # state is hundreds of arrays and re-allocating it every step costs
     # real time (and doubles peak memory) on TPU
     raw_step = m2.build_train_step(cfg)
     step_fn = jax.jit(raw_step, donate_argnums=(0,))
-    vis_fn = jax.jit(raw_step.visuals_fn) if args.display_freq else None
+    # visual dumps fetch the (host-sharded) batch; skip under multihost
+    vis_fn = (jax.jit(raw_step.visuals_fn)
+              if args.display_freq and n_proc == 1 else None)
+    if args.display_freq and n_proc > 1 and proc0:
+        print("[train] --display_freq disabled under --multihost "
+              "(batch shards are not host-addressable)", file=sys.stderr)
 
-    state = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl), state)
-    frozen = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl),
-                                    frozen)
+    # Replicate host values onto the mesh. Multihost must NOT use
+    # device_put: putting an uncommitted value to a sharding that spans
+    # other processes triggers jax's assert_equal value check — one
+    # cross-process allgather (with its own Gloo/NCCL context and a 30s
+    # init deadline) PER LEAF, which both crawls and deadlocks if any
+    # process is >30s behind (e.g. a compile-cache miss).
+    # make_array_from_process_local_data assembles the same global
+    # array from the (identical, seed-derived) local copy, collective-free.
+    def _replicate(x):
+        if n_proc > 1:
+            return jax.make_array_from_process_local_data(
+                repl, np.asarray(x))
+        return jax.device_put(x, repl)
 
+    def _step_key(i):
+        # a host-built key is uncommitted → same assert_equal hazard as
+        # above when jit places it on the multihost mesh; pre-assemble
+        # its raw data as a replicated global array instead
+        k = jax.random.key(i)
+        if n_proc == 1:
+            return k
+        return jax.random.wrap_key_data(
+            _replicate(jax.random.key_data(k)))
+
+    _stage("replicate")
+    state = jax.tree_util.tree_map(_replicate, state)
+    frozen = jax.tree_util.tree_map(_replicate, frozen)
+
+    def _mh_barrier(name, timeout_ms=1_800_000):
+        # The coordination-service barrier with a GENEROUS timeout. The
+        # cross-process sync points jax/orbax insert themselves (Gloo
+        # context init, orbax sync_global_processes) allow only ~30 s,
+        # but per-process compile skew here is minutes: single-device
+        # init programs bake local device ids into the executable, so
+        # process 0 can hit the persistent compile cache while process 1
+        # recompiles from scratch (measured 43 s vs 161 s). Re-align at
+        # explicit points so no library barrier ever sees that skew.
+        if n_proc > 1:
+            try:
+                from jax._src import distributed
+                distributed.global_state.client.wait_at_barrier(
+                    name, timeout_in_ms=timeout_ms)
+            except Exception as e:  # keep training usable if API moves
+                print(f"[train] barrier {name} unavailable: {e}",
+                      file=sys.stderr)
+
+    _mh_barrier("ap:post_init")
+    if n_proc > 1:
+        # establish the mesh's Gloo/collective cliques while processes
+        # are aligned (context init has a hard 30 s deadline); later
+        # collectives (orbax's barrier allgather, the train step) reuse
+        # or re-init them without racing a compile
+        warm = jax.jit(lambda x: jnp.sum(x),
+                       in_shardings=batch_sharding, out_shardings=repl)
+        local = np.ones((n_dev // n_proc,), np.float32)
+        g = jax.make_array_from_process_local_data(batch_sharding, local)
+        jax.block_until_ready(warm(g))
+
+    _stage("ckpt_mgr")
     logger = LossLogger(args.checkpoints_dir, args.name)
     ckpt = CheckpointManager(
         os.path.join(args.checkpoints_dir, args.name, "orbax"),
         save_interval_steps=args.save_epoch_freq * cfg.steps_per_epoch)
     if args.continue_train and ckpt.latest_step() is not None:
         state = ckpt.restore(None, state)
-        print(f"[train] resumed from step {int(state.step)}")
+        if proc0:
+            print(f"[train] resumed from step {int(state.step)}")
 
-    np_rng = np.random.default_rng(0)
+    # distinct sampling stream per process (each loads its own batch
+    # shard); the jitted step itself stays identical across processes
+    np_rng = np.random.default_rng(jax.process_index())
     total_epochs = cfg.niter + cfg.niter_decay
     step = int(state.step)
     timer = StepTimer()
@@ -139,14 +243,21 @@ def main(argv=None):
     stop_evt = threading.Event()
     producer_exc: list[BaseException] = []
 
+    def _put(v):
+        if n_proc > 1:
+            # this process contributes its local shard of the global
+            # batch; jax assembles the sharded global array
+            return jax.make_array_from_process_local_data(
+                batch_sharding, np.asarray(v))
+        return jax.device_put(jnp.asarray(v), batch_sharding)
+
     def _producer():
         try:
             while not stop_evt.is_set():
-                idx = np_rng.integers(0, len(ds), size=per_step)
+                idx = np_rng.integers(0, len(ds), size=local_per_step)
                 b = ds.batch(list(idx), np_rng,
                              num_threads=args.num_threads)
-                b = {k: jax.device_put(jnp.asarray(v), batch_sharding)
-                     for k, v in b.items()}
+                b = {k: _put(v) for k, v in b.items()}
                 while not stop_evt.is_set():
                     try:
                         prefetch_q.put(b, timeout=1.0)
@@ -157,6 +268,7 @@ def main(argv=None):
             producer_exc.append(e)
 
     producer = threading.Thread(target=_producer, daemon=True)
+    _stage("producer")
     producer.start()
 
     def next_batch():
@@ -170,17 +282,20 @@ def main(argv=None):
                 if not producer.is_alive():
                     raise RuntimeError("data loader thread exited")
 
+    _mh_barrier("ap:pre_train")
     for epoch in range(step // cfg.steps_per_epoch + 1, total_epochs + 1):
         for _ in range(cfg.steps_per_epoch):
             batch = next_batch()
             timer.data_done()
+            _stage(f"step {step}")
             state, metrics = step_fn(state, batch, frozen,
-                                     jax.random.key(step))
+                                     _step_key(step))
             step += 1
             if step % args.print_freq == 0:
                 jax.block_until_ready(metrics)
                 t_comp, t_data = timer.step_done()
-                logger.log(epoch, step, metrics, t_comp, t_data)
+                if proc0:
+                    logger.log(epoch, step, metrics, t_comp, t_data)
             else:
                 timer.step_done()
             if vis_fn is not None and step % args.display_freq == 0:
@@ -201,6 +316,9 @@ def main(argv=None):
                     update_html=(not args.no_html
                                  and step % max(1, args.update_html_freq)
                                  == 0))
+            # checkpoint saves run on EVERY process: orbax coordinates
+            # internally (barriers + primary-host writes); a proc0-only
+            # call would deadlock its cross-process sync
             if args.save_latest_freq and step % args.save_latest_freq == 0:
                 # reference saves latest_net_* every save_latest_freq
                 # (train.py:48-55) — a single rolling slot, NOT an epoch
@@ -215,10 +333,13 @@ def main(argv=None):
                 # force: off-cadence unforced saves are silently skipped
                 # by orbax, losing the final state
                 ckpt.save(step, jax.device_get(state), force=True)
-                print(f"[train] stopped at max_steps={args.max_steps}")
+                if proc0:
+                    print(f"[train] stopped at "
+                          f"max_steps={args.max_steps}")
                 return
         ckpt.save(step, jax.device_get(state))
-        print(f"[train] epoch {epoch} done (step {step})")
+        if proc0:
+            print(f"[train] epoch {epoch} done (step {step})")
     stop_evt.set()
 
 

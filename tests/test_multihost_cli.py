@@ -1,0 +1,89 @@
+"""Multi-host training path: two REAL processes, one global SPMD step.
+
+Validates --multihost end to end on CPU: jax.distributed over a
+localhost coordinator, a global 8-device mesh spanning 2 processes
+(4 virtual devices each), per-process batch shards assembled with
+make_array_from_process_local_data, orbax saves coordinated across
+processes. No TPU pod needed (SURVEY.md §4: multi-device correctness
+tests run on CPU via device-count overrides).
+"""
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+from tests.test_dataset import _make_fixture
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_train_cli_two_processes(tmp_path):
+    root = str(tmp_path / "data")
+    _make_fixture(root, size=128)
+    ckpt_dir = str(tmp_path / "ckpts")
+    coord = f"127.0.0.1:{_free_port()}"
+
+    env = dict(os.environ)
+    env.update({
+        # AP_PLATFORM (a jax.config override inside train_cli), NOT
+        # JAX_PLATFORMS: the axon site hook re-pins jax_platforms via
+        # config update in every fresh interpreter, so the env var
+        # alone would still initialize the TPU backend here
+        "AP_PLATFORM": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_cache",
+    })
+
+    def launch(pid):
+        args = [
+            sys.executable, "-m", "animateportrait_tpu.train_cli",
+            "--dataroot", root,
+            "--checkpoints_dir", ckpt_dir,
+            "--name", "mh",
+            "--model", "geomgm_ifw_fore",
+            "--netG", "resnet_9blocks_rcatland32_full_ifw",
+            "--netg_resb_div", "3", "--netg_resb_disp", "3",
+            "--output_nc", "1", "--ngf", "8", "--ndf", "8",
+            "--load_size", "72", "--crop_size", "64",
+            "--lr", "0.00005",
+            "--lambda_geom", "50", "--lambda_geom_lipline", "50",
+            "--niter", "1", "--niter_decay", "0",
+            "--max_steps", "1", "--print_freq", "1",
+            "--frozen_dir", str(tmp_path / "nonexistent"),
+            "--multihost", "1",
+            "--coordinator_address", coord,
+            "--num_processes", "2",
+            "--process_id", str(pid),
+        ]
+        return subprocess.Popen(args, env=env, stdout=subprocess.PIPE,
+                                stderr=subprocess.STDOUT, text=True)
+
+    procs = [launch(0), launch(1)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=1500)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-4000:]}"
+
+    # loss log written by process 0 only; the coordinated orbax save
+    # produced exactly one checkpoint tree
+    exp_dir = os.path.join(ckpt_dir, "mh")
+    text = open(os.path.join(exp_dir, "loss_log.txt")).read()
+    assert "iters: 1" in text
+    assert os.path.isdir(os.path.join(exp_dir, "orbax"))
+    assert "max_steps=1" in outs[0] or "max_steps=1" in outs[1]

@@ -79,6 +79,11 @@ def test_module2_renderer_smoke(rng):
     assert frames.shape == (3, cs, cs, 1)
     assert np.isfinite(frames).all()
 
+    # AP_FETCH=overlap (per-batch async host copies + host concat) is a
+    # transfer-schedule change only — outputs are identical
+    r._fetch_mode = "overlap"
+    np.testing.assert_array_equal(np.asarray(r(photo, a68, tb)), frames)
+
 
 @pytest.mark.slow
 def test_data_parallel_renderer_matches_single_device(rng):

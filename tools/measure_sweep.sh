@@ -21,6 +21,7 @@ run BENCH_SKIP_TORCH=1 BENCH_FB=16                  # e2e fp32 fb16
 run BENCH_SKIP_TORCH=1 BENCH_BF16=1                 # e2e bf16 fb8
 run BENCH_SKIP_TORCH=1 BENCH_BF16=1 BENCH_FB=16     # e2e bf16 fb16
 run BENCH_SKIP_TORCH=1 BENCH_BF16=1 BENCH_FB=32     # e2e bf16 fb32
+run BENCH_SKIP_TORCH=1 AP_FETCH=overlap             # e2e fp32 fb8, overlapped fetch
 run BENCH_MODE=generator                            # generator fp32 (+baseline)
 run BENCH_MODE=generator BENCH_BF16=1 BENCH_SKIP_TORCH=1
 run BENCH_TRAIN=1                                   # train step batch 1
