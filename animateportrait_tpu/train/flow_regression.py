@@ -72,6 +72,33 @@ def multi_scale_flow_loss(flow_pyramid, target_flow, vis_mask,
     return loss, e
 
 
+def ss_flow_loss(input_flow, target_flow, seg_1, seg_2, vis_2,
+                 loss_type: str = "l1", div_flow: float = 0.05):
+    """modules.SS_FlowLoss (:431-460): segmentation-sensitive flow loss —
+    penalizes only pixels whose predicted flow lands in a WRONG
+    segmentation region of the source.
+
+    input_flow/target_flow: (N,H,W,2) pixel-space (the x20-scaled net
+    output and the GT); seg_1/seg_2: (N,H,W,ns) one-hot with channel 0 =
+    background; vis_2: (N,H,W) or (N,H,W,1) visibility classes. The mask
+    is built under stop_gradient like the reference's torch.no_grad.
+    """
+    from animateportrait_tpu.ops.warp import warp_acc_flow
+
+    if vis_2.ndim == 3:
+        vis_2 = vis_2[..., None]
+    fg_1 = seg_1[..., 1:]
+    fg_2 = seg_2[..., 1:]
+    seg_1w = (warp_acc_flow(fg_1, input_flow) > 0).astype(input_flow.dtype)
+    mask = jnp.sum(fg_2 * (1.0 - seg_1w), axis=-1, keepdims=True)
+    mask = jax.lax.stop_gradient(
+        mask * (vis_2 == 0).astype(input_flow.dtype))
+    err = (input_flow - target_flow) * div_flow * mask
+    if loss_type == "l1":
+        return jnp.mean(jnp.abs(err))
+    return jnp.mean(jnp.linalg.norm(err, axis=-1))
+
+
 def psnr(a, b, max_val: float = 1.0):
     """modules.PSNR (:560-570)."""
     mse = jnp.mean(jnp.square(a - b), axis=(1, 2, 3))
@@ -84,6 +111,10 @@ class FlowRegConfig:
     beta1: float = 0.9
     num_scale: int = 4
     loss_weight_vis: float = 1.0
+    # --use_ss_flow_loss (flow_regression_model.py:47-48,123-124):
+    # segmentation-sensitive flow term on the x20 pixel-space output
+    use_ss_flow_loss: bool = False
+    loss_weight_flow_ss: float = 1.0
 
 
 class FlowRegTrainState(struct.PyTreeNode):
@@ -109,7 +140,8 @@ def build_flow_train_step(cfg: FlowRegConfig):
     model = FlowUnet(num_scale=cfg.num_scale)
     tx = optax.adam(cfg.lr, b1=cfg.beta1)
 
-    def loss_fn(params, batch_stats, kp1, kp2, flow_gt, vis_gt):
+    def loss_fn(params, batch_stats, kp1, kp2, flow_gt, vis_gt,
+                seg_1, seg_2):
         j1 = kp_to_map_binary((224, 224), kp1)
         j2 = kp_to_map_binary((224, 224), kp2)
         inp = jnp.concatenate([j1, j2], axis=-1)
@@ -122,15 +154,21 @@ def build_flow_train_step(cfg: FlowRegConfig):
         l_vis = -jnp.mean(jnp.take_along_axis(
             logp, vis_gt[..., None], axis=-1))
         loss = l_flow + cfg.loss_weight_vis * l_vis
-        return loss, (updates["batch_stats"],
-                      {"loss": loss, "flow": l_flow, "vis": l_vis,
-                       "epe": e})
+        metrics = {"loss": loss, "flow": l_flow, "vis": l_vis, "epe": e}
+        if cfg.use_ss_flow_loss:
+            l_ss = ss_flow_loss(flow_out * 20.0, flow_gt, seg_1, seg_2,
+                                vis_gt)
+            loss = loss + cfg.loss_weight_flow_ss * l_ss
+            metrics["flow_ss"] = l_ss
+            metrics["loss"] = loss
+        return loss, (updates["batch_stats"], metrics)
 
-    def train_step(state, kp1, kp2, flow_gt, vis_gt):
+    def train_step(state, kp1, kp2, flow_gt, vis_gt,
+                   seg_1=None, seg_2=None):
         (_, (stats, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(
             state.variables["params"], state.variables["batch_stats"],
-            kp1, kp2, flow_gt, vis_gt)
+            kp1, kp2, flow_gt, vis_gt, seg_1, seg_2)
         updates, opt = tx.update(grads, state.opt,
                                  state.variables["params"])
         params = optax.apply_updates(state.variables["params"], updates)
