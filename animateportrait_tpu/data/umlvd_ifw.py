@@ -41,7 +41,14 @@ class DataConfig:
     load_size: int = 286
     crop_size: int = 256
     no_flip: bool = False
-    output_nc: int = 1
+    input_nc: int = 3              # A grayscale when 1 (swapped by
+    output_nc: int = 1             # --direction BtoA, umlvd:145-147)
+    # --serial_batches: deterministic B pairing (index % B_size) instead
+    # of the randomized training pairing (umlvd_ifw_dataset.py:151-155)
+    serial_batches: bool = False
+    # --max_dataset_size: per-list cap like the reference's
+    # make_dataset(dir, max_dataset_size) (image_folder.py:23-35)
+    max_dataset_size: float = float("inf")
     max_offset: float = 3.0
     select_target12_thre: float = 0.0
     select_noniden_thre: float = 0.9
@@ -170,6 +177,10 @@ class UMLVDIFWDataset:
                       recursive=True))
         self.B_paths = [p for p in self.B_paths
                         if "scanner_frag" not in p]
+        if np.isfinite(cfg.max_dataset_size):
+            cap = int(cfg.max_dataset_size)
+            self.A_paths = self.A_paths[:cap]
+            self.B_paths = self.B_paths[:cap]
         self.B12_paths = []
         if cfg.use_clips:
             for clip in range(34):
@@ -181,6 +192,13 @@ class UMLVDIFWDataset:
 
     def __len__(self):
         return max(len(self.A_paths), len(self.B_paths))
+
+    def b_index(self, index: int, rng: np.random.Generator) -> int:
+        """B pairing: deterministic under --serial_batches, randomized
+        for training (umlvd_ifw_dataset.py:151-155)."""
+        if self.cfg.serial_batches:
+            return index % len(self.B_paths)
+        return int(rng.integers(0, len(self.B_paths)))
 
     # --- path helpers over the reference layout ---
     def _lm_img(self, p, kind):
@@ -207,11 +225,12 @@ class UMLVDIFWDataset:
         cfg = self.cfg
         ls, cs = cfg.load_size, cfg.crop_size
         A_path = self.A_paths[index % len(self.A_paths)]
-        B_path = self.B_paths[int(rng.integers(0, len(self.B_paths)))]
+        B_path = self.B_paths[self.b_index(index, rng)]
 
         def load_group(path, kind, params_src_size, params):
             img = _load_img(path, grayscale=(
-                kind == "B" and cfg.output_nc == 1), size=ls)
+                (cfg.input_nc if kind == "A" else cfg.output_nc) == 1),
+                size=ls)
             lm_img = _load_img(self._lm_img(path, kind), grayscale=True,
                                size=ls)
             lm68 = self._read_lm(self._lm_txt(path, kind))

@@ -104,6 +104,15 @@ def main(argv=None):
     example = m2.make_example_batch(cfg, batch_size=per_step)
     _stage("init_state")
     state = m2.init_state(cfg, rng, example)
+    if args.verbose and proc0:
+        # base_options --verbose: per-network parameter counts (the
+        # reference prints each net's architecture + total params)
+        def _count(tree):
+            return sum(int(np.prod(x.shape))
+                       for x in jax.tree_util.tree_leaves(tree))
+        print(f"[verbose] G params: {_count(state.g_params) / 1e6:.3f} M")
+        for dname, dp in sorted(state.d_params.items()):
+            print(f"[verbose] D[{dname}] params: {_count(dp) / 1e6:.3f} M")
 
     def load_frozen():
         fd = args.frozen_dir
@@ -221,9 +230,22 @@ def main(argv=None):
         os.path.join(args.checkpoints_dir, args.name, "orbax"),
         save_interval_steps=args.save_epoch_freq * cfg.steps_per_epoch)
     if args.continue_train and ckpt.latest_step() is not None:
-        state = ckpt.restore(None, state)
+        # --load_iter resumes from that exact saved step; default latest
+        state = ckpt.restore(args.load_iter or None, state)
         if proc0:
             print(f"[train] resumed from step {int(state.step)}")
+        if args.epoch_count > 1 and proc0:
+            print("[train] --epoch_count ignored with --continue_train "
+                  "(the restored step already encodes the epoch)",
+                  file=sys.stderr)
+    elif args.epoch_count > 1:
+        # reference train.py:19 starts the epoch loop at epoch_count and
+        # its linear-lr lambda adds epoch_count to the scheduler epoch
+        # (networks.py:57); here epochs derive from state.step, so the
+        # same shift is an initial step offset
+        state = state.replace(step=state.step + jnp.asarray(
+            (args.epoch_count - 1) * cfg.steps_per_epoch,
+            dtype=state.step.dtype))
 
     # distinct sampling stream per process (each loads its own batch
     # shard); the jitted step itself stays identical across processes

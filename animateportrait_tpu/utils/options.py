@@ -50,8 +50,35 @@ def build_train_argparser() -> argparse.ArgumentParser:
     p.add_argument("--num_threads", type=int, default=4,
                    help="data-loader worker threads (base_options.py)")
     p.add_argument("--phase", default="train")
-    p.add_argument("--display_env", default="main")  # accepted, unused
-    p.add_argument("--gpu_ids", default="0")         # accepted, unused
+    p.add_argument("--serial_batches", action="store_true",
+                   help="deterministic A/B pairing (index % size) instead "
+                   "of random B sampling (umlvd_ifw_dataset.py:151-155)")
+    p.add_argument("--max_dataset_size", type=int, default=float("inf"),
+                   help="cap on each image list (base_options.py:45)")
+    p.add_argument("--direction", default="AtoB",
+                   choices=["AtoB", "BtoA"],
+                   help="BtoA swaps the datasets' input/output channel "
+                   "bookkeeping (umlvd_ifw_dataset.py:145-147)")
+    p.add_argument("--preprocess", default="resize_and_crop",
+                   help="only resize_and_crop is supported: the umlvd "
+                   "datasets' landmark/TPS arithmetic assumes the "
+                   "load_size resize + crop_size crop geometry")
+    p.add_argument("--suffix", default="",
+                   help="opt.name += '_' + suffix.format(**vars(opt)) "
+                   "(base_options.py:119-122)")
+    p.add_argument("--verbose", action="store_true",
+                   help="print per-network parameter counts")
+    # visdom server knobs: accepted for reference-CLI compatibility; the
+    # live visdom dashboard is replaced by the HTML gallery + loss log
+    # (--display_freq/--update_html_freq/--no_html act on those)
+    p.add_argument("--display_id", type=int, default=1)
+    p.add_argument("--display_ncols", type=int, default=4)
+    p.add_argument("--display_port", type=int, default=8097)
+    p.add_argument("--display_server", default="http://localhost")
+    p.add_argument("--display_winsize", type=int, default=256)
+    p.add_argument("--display_env", default="main")
+    p.add_argument("--gpu_ids", default="0")    # device placement is the
+    p.add_argument("--gpu_ids_p", default="-2")  # SPMD mesh on TPU
     # train options (train_options.py)
     p.add_argument("--niter", type=int, default=100)
     p.add_argument("--niter_decay", type=int, default=100)
@@ -64,6 +91,13 @@ def build_train_argparser() -> argparse.ArgumentParser:
     p.add_argument("--lr_decay_iters", type=int, default=50)
     p.add_argument("--continue_train", action="store_true")
     p.add_argument("--epoch", default="latest")
+    p.add_argument("--epoch_count", type=int, default=1,
+                   help="starting epoch (train_options.py:27): shifts "
+                   "the epoch loop and the linear-lr decay onset")
+    p.add_argument("--load_iter", type=int, default=0,
+                   help="with --continue_train, resume from this exact "
+                   "step instead of the latest checkpoint "
+                   "(base_options.py load_iter)")
     p.add_argument("--save_epoch_freq", type=int, default=5)
     p.add_argument("--print_freq", type=int, default=100)
     # visual-dashboard / latest-save cadence (train_options.py:13-24)
@@ -115,6 +149,17 @@ def build_train_argparser() -> argparse.ArgumentParser:
 
 def to_configs(args: argparse.Namespace
                ) -> tuple[Module2Config, DataConfig]:
+    if getattr(args, "suffix", ""):
+        # base_options.py:119-122: opt.name = opt.name + '_' + suffix
+        args.name = args.name + "_" + args.suffix.format(**vars(args))
+        args.suffix = ""
+    if getattr(args, "preprocess", "resize_and_crop") != "resize_and_crop":
+        raise SystemExit(
+            f"--preprocess {args.preprocess}: only resize_and_crop is "
+            "supported (the umlvd datasets' landmark/TPS arithmetic is "
+            "tied to the load_size->crop_size geometry; other modes "
+            "mis-scale landmarks in the reference too)")
+    btoA = getattr(args, "direction", "AtoB") == "BtoA"
     cartoon = "cartoon" in args.model or "cartoon" in args.dataset_mode
     m2 = Module2Config(
         crop_size=args.crop_size,
@@ -153,7 +198,14 @@ def to_configs(args: argparse.Namespace
         root=args.dataroot,
         style_dir="Cartoon" if cartoon else "Drawing",
         load_size=args.load_size, crop_size=args.crop_size,
-        no_flip=args.no_flip, output_nc=args.output_nc,
+        no_flip=args.no_flip,
+        # BtoA swaps the datasets' channel bookkeeping only
+        # (umlvd_ifw_dataset.py:145-147); the nets keep their own flags
+        input_nc=args.output_nc if btoA else args.input_nc,
+        output_nc=args.input_nc if btoA else args.output_nc,
+        serial_batches=getattr(args, "serial_batches", False),
+        max_dataset_size=float(getattr(args, "max_dataset_size",
+                                       float("inf"))),
         max_offset=args.max_offset,
         select_target12_thre=args.select_target12_thre,
         select_noniden_thre=args.select_noniden_thre,

@@ -148,3 +148,58 @@ def test_options_to_configs():
     cfg2, data2 = to_configs(args2)
     assert cfg2.coherent == 0 and cfg2.output_nc == 3
     assert data2.style_dir == "Cartoon" and not data2.use_clips
+
+
+def test_options_base_flag_semantics():
+    """base_options flags: suffix name formatting (:119-122), BtoA
+    channel swap (umlvd:145-147), preprocess guard, dataset caps."""
+    import pytest
+
+    from animateportrait_tpu.utils.options import (
+        build_train_argparser, to_configs)
+
+    base = "--dataroot d --output_nc 1".split()
+    args = build_train_argparser().parse_args(
+        base + ["--name", "exp", "--suffix", "{netG}_size{load_size}"])
+    to_configs(args)
+    assert args.name == "exp_resnet_9blocks_rcatland32_full_ifw_size286"
+
+    args = build_train_argparser().parse_args(
+        base + ["--direction", "BtoA"])
+    _, data = to_configs(args)
+    assert data.input_nc == 1 and data.output_nc == 3  # swapped
+
+    args = build_train_argparser().parse_args(
+        base + ["--serial_batches", "--max_dataset_size", "2",
+                "--epoch_count", "5", "--load_iter", "7"])
+    _, data = to_configs(args)
+    assert data.serial_batches and data.max_dataset_size == 2
+    assert args.epoch_count == 5 and args.load_iter == 7
+
+    args = build_train_argparser().parse_args(
+        base + ["--preprocess", "scale_width"])
+    with pytest.raises(SystemExit):
+        to_configs(args)
+
+
+def test_dataset_serial_batches_and_cap(tmp_path):
+    from animateportrait_tpu.data.umlvd_ifw import (
+        DataConfig, UMLVDIFWDataset)
+
+    root = str(tmp_path / "drawing")
+    _make_fixture(root)
+    ds = UMLVDIFWDataset(DataConfig(root=root, output_nc=1,
+                                    serial_batches=True))
+    # serial pairing is index-deterministic regardless of the RNG
+    assert ds.b_index(1, np.random.default_rng(0)) == 1
+    assert ds.b_index(4, np.random.default_rng(99)) == 1  # 4 % 3
+    rnd = UMLVDIFWDataset(DataConfig(root=root, output_nc=1))
+    picks = {rnd.b_index(0, np.random.default_rng(s)) for s in range(16)}
+    assert len(picks) > 1  # randomized pairing without the flag
+    # serial sampling still produces a well-formed item
+    item = ds.sample(1, np.random.default_rng(0))
+    assert item["real_B"].shape[-1] == 1
+
+    capped = UMLVDIFWDataset(DataConfig(root=root, output_nc=1,
+                                        max_dataset_size=2))
+    assert len(capped.A_paths) == 2 and len(capped.B_paths) == 2
