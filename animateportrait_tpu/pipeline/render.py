@@ -248,7 +248,8 @@ class Module2Renderer:
                                 "flowunet": self.v.flowunet})
         self._prep_jit = jax.jit(self._prepare)
         self._encode_jit = jax.jit(self._encode)
-        self._frames_jit = jax.jit(self._frames)
+        self._frames_jit = jax.jit(self._frames,
+                                   static_argnames=("return_all",))
 
     # --- once per photo ---
     def _prepare(self, nets, photo):
@@ -293,7 +294,7 @@ class Module2Renderer:
 
     # --- per frame batch ---
     def _frames(self, nets, g_cache, mask, fake_static,
-                a_lm68, tb_lm68s, motions=None):
+                a_lm68, tb_lm68s, motions=None, return_all=False):
         B = tb_lm68s.shape[0]
         cs = self.crop_size
         if motions is None:
@@ -352,6 +353,16 @@ class Module2Renderer:
                                     (B,) + fake_static.shape[1:])
         out = ((fake_b / 2 + 0.5) * mask1
                + (static_b / 2 + 0.5) * (1 - mask1)) * 2 - 1
+        if return_all:
+            # the reference test model's intermediate visuals
+            # (geomcgt_ifw_test_model.py:276-302 attribute names)
+            return {"fake_B": out,
+                    "fake_B_fore": fake_b.astype(jnp.float32),
+                    "fg_mask1": mask1 * 2 - 1,
+                    "fakeB_static": static_b,
+                    "warp_motion": motions,
+                    "iw_flow": flows, "if_mask": fmasks,
+                    "target_B_lm": tb_lm_imgs.astype(jnp.float32)}
         if self.output_uint8:
             # on-device frames_to_uint8 (utils/video.py:17-22, same f32
             # math + truncating cast) — 4x less host-transfer traffic
@@ -431,3 +442,34 @@ class Module2Renderer:
         frames_dev = outs[0] if len(outs) == 1 else jnp.concatenate(
             outs, axis=0)
         return np.asarray(frames_dev)[:T]
+
+    def render_visuals(self, photo: np.ndarray, a_lm68: np.ndarray,
+                       tb_lm68s: np.ndarray,
+                       motions: np.ndarray | None = None
+                       ) -> dict[str, np.ndarray]:
+        """One frame batch with every reference test-model intermediate
+        (GeomCGTIFWTestModel.forward attributes,
+        geomcgt_ifw_test_model.py:276-302): fake_B (blended),
+        fake_B_fore (pre-blend G output), fg_mask / fg_mask1 (matte and
+        warped matte), fakeB_static, real_A (matted photo), target_B_lm,
+        plus warp_motion/iw_flow/if_mask. All (T, H, W, C) float numpy.
+
+        The per-frame visual path of ``test_cli``; the throughput path
+        is ``__call__`` (which skips these extra fetches)."""
+        photo = jnp.asarray(photo, jnp.float32)[None]
+        a68 = jnp.asarray(a_lm68, jnp.float32)[None]
+        photo_fore, mask, fake_static = self._prep_jit(
+            self._prep_nets, photo)
+        g_cache = self._encode_jit(self._frame_nets, photo_fore, a68)
+        lm_batch = jnp.asarray(tb_lm68s, jnp.float32)
+        mo = None if motions is None else jnp.asarray(motions, jnp.float32)
+        vis = self._frames_jit(self._frame_nets, g_cache, mask,
+                               fake_static, a68, lm_batch, mo,
+                               return_all=True)
+        T = lm_batch.shape[0]
+        out = {k: np.asarray(v) for k, v in vis.items()}
+        out["real_A"] = np.broadcast_to(
+            np.asarray(photo_fore), (T,) + photo_fore.shape[1:])
+        out["fg_mask"] = np.broadcast_to(
+            np.asarray(mask * 2 - 1), (T,) + mask.shape[1:])
+        return out
