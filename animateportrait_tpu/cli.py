@@ -37,7 +37,18 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="generator checkpoint epoch to load")
     p.add_argument("--exp", default="formal/drawing",
                    help="style: formal/drawing | formal/cartoon")
-    p.add_argument("--output", "--output_folder", default="output")
+    p.add_argument("--output", default="output",
+                   help="directory for the final video")
+    p.add_argument("--output_folder", default=None,
+                   help="also write the reference's step-5 artifact "
+                   "pred_fls_<audio>_audio_embed.txt here "
+                   "(train_audio2landmark.py:340-342; the reference "
+                   "writes it under Module1/examples and deletes it "
+                   "after step 6, so none is written by default)")
+    p.add_argument("--dump_dir", default=None,
+                   help="also write the random_val_{fl,au,gaze}.pickle "
+                   "stage dumps here (main_end2end_module2.py:230-251; "
+                   "the Module1 trainer input format)")
     p.add_argument("--ckpt_dir", default="checkpoints")
     p.add_argument("--load_AUTOVC_name", default="ckpt_autovc.pth")
     p.add_argument("--load_a2l_G_name", default="ckpt_speaker_branch.pth")
@@ -63,6 +74,22 @@ def build_argparser() -> argparse.ArgumentParser:
                         "intrinsic-flow Unet) in bfloat16; the "
                         "once-per-photo nets stay fp32")
     p.add_argument("--seed", type=int, default=0)
+    # Module1 model/trainer hyperparameters, accepted like the reference
+    # driver (main_end2end_module2.py:147-158). The inference engine
+    # hardcodes the shipped architecture exactly as the reference does
+    # (train_audio2landmark.py:55-59 ignores these flags), so they only
+    # matter to the trainers (train/module1.py configs).
+    p.add_argument("--pos_dim", type=int, default=7)
+    p.add_argument("--transformer_d_model", type=int, default=32)
+    p.add_argument("--transformer_N", type=int, default=2)
+    p.add_argument("--transformer_heads", type=int, default=2)
+    p.add_argument("--spk_emb_enc_size", type=int, default=16)
+    p.add_argument("--init_content_encoder", default="")
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--reg_lr", type=float, default=1e-6)
+    p.add_argument("--segment_batch_size", type=int, default=1)
+    p.add_argument("--lambda_laplacian_smooth_loss", type=float,
+                   default=1.0)
     return p
 
 
@@ -349,7 +376,11 @@ def main(argv=None):
     for key, emb in emb_runs:
         out = pipeline(img, wav, gender=args.gender,
                        rng=np.random.default_rng(args.seed),
-                       spk_emb_override=emb)
+                       spk_emb_override=emb,
+                       output_folder=args.output_folder,
+                       dump_dir=args.dump_dir,
+                       audio_name=os.path.splitext(
+                           os.path.basename(args.audio))[0])
         stage("pipeline done, muxing video")
         suffix = f"_{key}" if key else ""
         dst = os.path.join(

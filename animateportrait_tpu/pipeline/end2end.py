@@ -79,12 +79,22 @@ class TalkingPortraitPipeline:
     def __call__(self, img_bgr: np.ndarray, wav: np.ndarray | str,
                  gender: str = "F",
                  rng: np.random.Generator | None = None,
-                 spk_emb_override: np.ndarray | None = None
-                 ) -> PipelineOutputs:
+                 spk_emb_override: np.ndarray | None = None,
+                 output_folder: str | None = None,
+                 dump_dir: str | None = None,
+                 audio_name: str = "audio") -> PipelineOutputs:
         """spk_emb_override: use this 256-d speaker embedding for the
         landmark branch instead of the one computed from `wav` — the
         `--reuse_train_emb_list` saved-embedding path
-        (train_audio2landmark.py:263-275 `test_embs[key]`)."""
+        (train_audio2landmark.py:263-275 `test_embs[key]`).
+
+        output_folder: write the reference's step-5 artifact there —
+        `pred_fls_<audio_name>_audio_embed.txt`, the normalized predicted
+        landmarks in %.6f (train_audio2landmark.py:340-342).
+        dump_dir: write the reference's `random_val_{fl,au,gaze}.pickle`
+        stage dumps (main_end2end_module2.py:230-251) — the inputs the
+        Module1 trainers consume."""
+        import os
         import sys
         import time
 
@@ -125,6 +135,28 @@ class TalkingPortraitPipeline:
 
         feats = self.audio(wav, gender)
         log(f"audio features: {feats.mel_autovc.shape[0]} frames")
+        if dump_dir:
+            # the driver's pickled stage dumps (landmark placeholder +
+            # autovc audio + zero gaze), in the reference's exact format
+            # so the Module1 trainer datasets can consume them
+            import pickle
+
+            os.makedirs(dump_dir, exist_ok=True)
+            mel = np.asarray(feats.mel_autovc)
+            Tm = mel.shape[0]
+            info = (0, audio_name, np.asarray(feats.spk_emb))
+            dumps = {
+                "fl": [(np.zeros((Tm, 204), np.float32), info)],
+                "au": [(mel, info)],
+                "gaze": {"rot_trans": [np.zeros((Tm, 3, 4))],
+                         "rot_quat": [np.zeros((Tm, 4))],
+                         "anchor_t_shape": [np.zeros((Tm, 204))]},
+            }
+            for k, v in dumps.items():
+                with open(os.path.join(
+                        dump_dir, f"random_val_{k}.pickle"), "wb") as fp:
+                    pickle.dump(v, fp)
+            log(f"stage dumps written to {dump_dir}")
         au = normalize_audio_features(feats.mel_autovc)
         windows = sliding_windows(au)
         face_id = norm_shape.reshape(1, 204).astype(np.float32)
@@ -132,6 +164,12 @@ class TalkingPortraitPipeline:
                if spk_emb_override is not None else feats.spk_emb)
         fl = self.predictor(windows, spk, face_id)  # (T, 204)
         log(f"landmarks predicted: {fl.shape[0]} frames")
+        if output_folder:
+            os.makedirs(output_folder, exist_ok=True)
+            np.savetxt(os.path.join(
+                output_folder,
+                f"pred_fls_{audio_name}_audio_embed.txt"),
+                np.asarray(fl).reshape(-1, 204), fmt="%.6f")
 
         # un-normalize back to aligned-512 pixel space (:265-266)
         fl = fl.reshape(-1, 68, 3).astype(np.float64)

@@ -75,12 +75,27 @@ def test_end_to_end_smoke(rng, tmp_path):
     img = (rng.uniform(0, 255, (300, 280, 3))).astype(np.uint8)
     wav = rng.uniform(-0.3, 0.3, 16000 // 2).astype(np.float64)  # 0.5 s
 
-    out = pipe(img, wav)
+    out = pipe(img, wav, output_folder=str(tmp_path / "m1"),
+               dump_dir=str(tmp_path / "dump"), audio_name="clip")
     T = out.frames.shape[0]
     assert T > 5
     assert out.frames.shape[1:] == (256, 256, 1)
     assert np.isfinite(out.frames).all()
     assert out.landmarks.shape == (T, 68, 3)
+
+    # reference step-5 artifact (train_audio2landmark.py:340-342)
+    fls = np.loadtxt(tmp_path / "m1" / "pred_fls_clip_audio_embed.txt")
+    assert fls.shape == (T, 204) and np.isfinite(fls).all()
+    # stage dumps round-trip through the Module1 trainer dataset
+    # (main_end2end_module2.py:230-251 format)
+    from animateportrait_tpu.data.audio2landmark import (
+        Audio2landmarkDataset)
+
+    ds = Audio2landmarkDataset(str(tmp_path / "dump"), dump_name="random",
+                               status="val")
+    (fl_arr, _), (au_arr, info) = ds[0]
+    assert au_arr.shape[-1] == 80 and fl_arr.shape[-1] == 204
+    assert info[1] == "clip" and np.asarray(info[2]).shape == (256,)
 
     path = write_video_with_audio(str(tmp_path / "out.avi"), out.frames,
                                   wav, fps=out.fps)
@@ -106,10 +121,19 @@ def test_cli_flag_surface():
         "--load_a2l_C_name", "c.pth", "--amp_lip_x", "1.5",
         "--amp_lip_y", "1.5", "--amp_pos", "0.3", "--emb_coef", "2.0",
         "--reuse_train_emb_list", "spk1", "spk2",
-        "--output_folder", "/tmp/out"])
-    assert args.epoch == "35" and args.output == "/tmp/out"
+        "--output_folder", "/tmp/m1", "--dump_dir", "/tmp/dump",
+        "--pos_dim", "7", "--transformer_d_model", "32",
+        "--transformer_N", "2", "--transformer_heads", "2",
+        "--spk_emb_enc_size", "16", "--init_content_encoder", "",
+        "--lr", "1e-3", "--reg_lr", "1e-6", "--segment_batch_size", "1",
+        "--lambda_laplacian_smooth_loss", "1.0"])
+    assert args.epoch == "35" and args.output == "output"
+    # --output_folder is the reference's pred_fls artifact dir
+    # (train_audio2landmark.py:342), distinct from the video --output
+    assert args.output_folder == "/tmp/m1" and args.dump_dir == "/tmp/dump"
     assert args.reuse_train_emb_list == ["spk1", "spk2"]
     assert args.load_AUTOVC_name == "a.pth"
+    assert args.transformer_d_model == 32 and args.pos_dim == 7
 
 
 def test_load_train_embs(tmp_path):
