@@ -93,6 +93,19 @@ class Module2Config:
     identity_loss: int = 2
     warp_loss: int = 2
     more_weight_for_lip: int = 2
+    # FaceLoss backbone selection, dispatched like the reference on a
+    # 'senet' substring in the checkpoint path (--face_recog_model,
+    # geomgm_ifw_fore_model.py:185; networks.py:2862-2876): senet50 crops
+    # heads to 224x224, sphere20a to 112x96.
+    face_recog_model: str = "sphere20a"
+
+    @property
+    def use_senet(self) -> bool:
+        return "senet" in self.face_recog_model
+
+    @property
+    def face_crop_hw(self) -> tuple:
+        return (224, 224) if self.use_senet else (112, 96)
 
 
 class FrozenNets(struct.PyTreeNode):
@@ -545,11 +558,19 @@ def build_train_step(cfg: Module2Config):
             def rep3(x):
                 return jnp.repeat(x, 3, axis=-1) if x.shape[-1] == 1 else x
             from animateportrait_tpu.models.perception import crop_head_bbox
-            f_crop = crop_head_bbox(rep3(fake_B), batch["winB"])
+            f_crop = crop_head_bbox(rep3(fake_B), batch["winB"],
+                                    out_hw=cfg.face_crop_hw)
             s_crop = crop_head_bbox(rep3(shared["fakeB_static"]),
-                                    batch["winA"])
+                                    batch["winA"], out_hw=cfg.face_crop_hw)
+            if cfg.use_senet:
+                from animateportrait_tpu.models.perception import SENet50
+                face_net_apply = (lambda v, x: SENet50().apply(
+                    v, x.astype(cdt)))
+            else:
+                face_net_apply = (lambda v, x: Sphere20a().apply(
+                    v, x.astype(cdt)))
             l_iden = face_loss(
-                lambda v, x: Sphere20a().apply(v, x.astype(cdt)),
+                face_net_apply,
                 _cast(frozen.sphere), f_crop,
                 s_crop).astype(jnp.float32) * cfg.lambda_face
             losses["iden_B"] = l_iden
@@ -710,13 +731,18 @@ def make_example_batch(cfg: Module2Config, batch_size: int = 1,
     }
 
 
-def init_frozen_random(rng, crop_size: int = 256) -> FrozenNets:
+def init_frozen_random(rng, crop_size: int = 256,
+                       face_recog_model: str = "sphere20a") -> FrozenNets:
     """Randomly initialized frozen nets (tests / dry runs; real use loads
     converted reference checkpoints)."""
     k1, k2, k3, k4 = jax.random.split(rng, 4)
     modnet = MODNet().init(k1, jnp.zeros((1, crop_size, crop_size, 3)))
     mfn = MobileFaceNet().init(k2, jnp.zeros((1, 112, 112, 3)))
-    sphere = Sphere20a().init(k3, jnp.zeros((1, 112, 96, 3)))
+    if "senet" in face_recog_model:
+        from animateportrait_tpu.models.perception import SENet50
+        sphere = SENet50().init(k3, jnp.zeros((1, 224, 224, 3)))
+    else:
+        sphere = Sphere20a().init(k3, jnp.zeros((1, 112, 96, 3)))
     flow = FlowUnet().init(k4, jnp.zeros((1, 224, 224, 136)))
     return FrozenNets(modnet=modnet, mobilefacenet=mfn, sphere=sphere,
                       flowunet=flow)

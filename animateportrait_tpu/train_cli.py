@@ -130,7 +130,21 @@ def main(argv=None):
                   "random init", file=sys.stderr)
             return None
 
-        frozen = m2.init_frozen_random(rng, cfg.crop_size)
+        frozen = m2.init_frozen_random(rng, cfg.crop_size,
+                                       cfg.face_recog_model)
+        if cfg.use_senet:
+            # --face_recog_model with 'senet' in the path selects the
+            # 224x224 SENet50 FaceLoss (networks.py:2862-2876); the
+            # senet50_ft weights ship as a numpy pickle, not a state dict
+            from animateportrait_tpu.models.perception import (
+                load_senet50_params)
+            face_path = cfg.face_recog_model if os.path.isabs(
+                cfg.face_recog_model) else os.path.join(
+                    fd, os.path.basename(cfg.face_recog_model))
+            face_entry = (face_path, load_senet50_params)
+        else:
+            face_entry = (os.path.join(fd, "sphere20a_20171020.pth"),
+                          load_sphere20a_params)
         repl_map = {
             "modnet": (os.path.join(
                 fd, "modnet_photographic_portrait_matting.ckpt"),
@@ -139,8 +153,7 @@ def main(argv=None):
                 fd, "mobilefacenet_model_best.pth.tar"),
                 lambda sd: load_mobilefacenet_params(
                     sd.get("state_dict", sd))),
-            "sphere": (os.path.join(fd, "sphere20a_20171020.pth"),
-                       load_sphere20a_params),
+            "sphere": face_entry,
             "flowunet": (os.path.join(
                 fd, "FlowReg_id_flow_faces", "best_net_netF.pth"),
                 load_flowunet_params),

@@ -134,6 +134,19 @@ def build_train_argparser() -> argparse.ArgumentParser:
     p.add_argument("--select_target12_thre", type=float, default=0.0)
     p.add_argument("--select_noniden_thre", type=float, default=0.9)
     p.add_argument("--max_offset", type=float, default=3.0)
+    p.add_argument("--face_recog_model",
+                   default="./checkpoints/sphere20a_20171020.pth",
+                   help="FaceLoss backbone checkpoint; a path containing "
+                   "'senet' selects the 224x224 SENet50 variant "
+                   "(geomgm_ifw_fore_model.py:185, networks.py:2862-2876)")
+    # crop-window flags (geomgm_ifw_fore_model.py:203-205). Reference
+    # quirk: it registers these but get_params2 is always called without
+    # forwarding them (base_dataset.py:81, umlvd_ifw_dataset.py:181-182),
+    # so they are dead there; here they actually drive the face-region
+    # crop window.
+    p.add_argument("--rx", type=float, default=0.15, help="rx for win")
+    p.add_argument("--ry", type=float, default=0.2, help="ry for win")
+    p.add_argument("--rs", type=float, default=0.7, help="rs for win")
     # TPU-native extras
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"],
@@ -193,6 +206,8 @@ def to_configs(args: argparse.Namespace
         identity_loss=args.identity_loss,
         warp_loss=args.warp_loss,
         more_weight_for_lip=args.more_weight_for_lip,
+        face_recog_model=getattr(
+            args, "face_recog_model", "sphere20a"),
     )
     data = DataConfig(
         root=args.dataroot,
@@ -207,6 +222,7 @@ def to_configs(args: argparse.Namespace
         max_dataset_size=float(getattr(args, "max_dataset_size",
                                        float("inf"))),
         max_offset=args.max_offset,
+        rx=args.rx, ry=args.ry, rs=args.rs,
         select_target12_thre=args.select_target12_thre,
         select_noniden_thre=args.select_noniden_thre,
         coh_use_more=bool(args.coh_use_more) and not cartoon,

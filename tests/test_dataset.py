@@ -182,6 +182,46 @@ def test_options_base_flag_semantics():
         to_configs(args)
 
 
+def test_options_face_recog_and_crop_window_flags():
+    """--face_recog_model senet dispatch (networks.py:2862-2876) and the
+    rx/ry/rs crop-window flags (geomgm_ifw_fore_model.py:203-205)."""
+    from animateportrait_tpu.utils.options import (
+        build_train_argparser, to_configs)
+
+    base = "--dataroot d --output_nc 1".split()
+    cfg, data = to_configs(build_train_argparser().parse_args(base))
+    assert not cfg.use_senet and cfg.face_crop_hw == (112, 96)
+    assert (data.rx, data.ry, data.rs) == (0.15, 0.2, 0.7)
+
+    cfg, data = to_configs(build_train_argparser().parse_args(
+        base + ["--face_recog_model", "./checkpoints/senet50_ft.pkl",
+                "--rx", "0.1", "--ry", "0.25", "--rs", "0.6"]))
+    assert cfg.use_senet and cfg.face_crop_hw == (224, 224)
+    assert (data.rx, data.ry, data.rs) == (0.1, 0.25, 0.6)
+
+
+@pytest.mark.slow
+def test_train_step_senet_identity_loss():
+    """The senet FaceLoss branch compiles and yields a finite iden_B on a
+    tiny config (crop 64, 224-crop heads)."""
+    import jax
+
+    from animateportrait_tpu.train.module2 import (
+        Module2Config, build_train_step, init_frozen_random, init_state,
+        make_example_batch)
+
+    cfg = Module2Config(crop_size=64, output_nc=1, ngf=4, ndf=4,
+                        pool_size=2, steps_per_epoch=2,
+                        face_recog_model="checkpoints/senet50_ft.pkl")
+    rng = jax.random.PRNGKey(0)
+    batch = make_example_batch(cfg, batch_size=1)
+    state = init_state(cfg, rng, batch)
+    frozen = init_frozen_random(rng, cfg.crop_size, cfg.face_recog_model)
+    step = jax.jit(build_train_step(cfg))
+    state, metrics = step(state, batch, frozen, rng)
+    assert np.isfinite(float(metrics["iden_B"]))
+
+
 def test_dataset_serial_batches_and_cap(tmp_path):
     from animateportrait_tpu.data.umlvd_ifw import (
         DataConfig, UMLVDIFWDataset)
