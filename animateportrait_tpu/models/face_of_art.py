@@ -345,6 +345,120 @@ def feature_based_pdm_correct(lms_init_yx: np.ndarray,
     return new
 
 
+def pdm_correct_reference(init_shape_yx: np.ndarray, rpdm) -> np.ndarray:
+    """Exact menpofit ``OrthoPDM.set_target`` on a shipped model
+    (``pdm_correct``, pdm_clm_functions.py:83-88).
+
+    menpo linearizes the global similarity as 4 extra basis rows
+    (scale/rotation/translation of a fixed shape is linear in 4 params)
+    and keeps the joint [similarity; shape] basis orthonormal, so
+    set_target is a one-shot projection — verified to reproduce the
+    stored fitting state in the shipped pickles to ~1e-14.
+    """
+    x = np.asarray(init_shape_yx, np.float64).ravel()
+    b = rpdm.basis @ (x - rpdm.mean)
+    return (rpdm.mean + rpdm.basis.T @ b).reshape(-1, 2)
+
+
+def weighted_pdm_correct_reference(init_shape_yx: np.ndarray, rpdm,
+                                   weights: np.ndarray,
+                                   rho: float = 20.0) -> np.ndarray:
+    """Exact ``weighted_pdm_transform`` (pdm_clm_functions.py:91-110) on
+    a shipped model: Tikhonov-regularized weighted projection with zero
+    prior on the 4 similarity parameters and rho/eigenvalue on the shape
+    parameters, solved jointly."""
+    x = np.asarray(init_shape_yx, np.float64).ravel()
+    w = np.asarray(weights, np.float64)
+    j = rpdm.basis.T                              # (2P, 4 + n_pc)
+    prior = np.concatenate([np.zeros(rpdm.n_sim),
+                            rho / np.maximum(rpdm.eigenvalues, 1e-300)])
+    resid = x - rpdm.mean
+    jwj = j.T @ (w[:, None] * j)
+    p = np.linalg.solve(jwj + np.diag(prior), j.T @ (w * resid))
+    return (rpdm.mean + j @ p).reshape(-1, 2)
+
+
+def feature_based_pdm_correct_reference(lms_init_yx: np.ndarray,
+                                        rpdms: dict,
+                                        heatmaps: np.ndarray | None = None
+                                        ) -> np.ndarray:
+    """``feature_based_pdm_corr`` (pdm_clm_functions.py:124-170) on the
+    shipped per-part models: plain set_target per part, or the
+    evidence-weighted transform when ``heatmaps`` are given (the w_pdm
+    path, rate=0.5/offset=10 as at :92)."""
+    lms_init_yx = np.asarray(lms_init_yx, np.float64)
+    new = lms_init_yx.copy()
+    evidence = None
+    if heatmaps is not None:
+        patches = get_patches_around_landmarks(
+            heatmaps, lms_init_yx, image_shape=heatmaps.shape[0])
+        evidence = calculate_evidence(patches, rate=0.5, offset=10.0)
+    for part, inds in PART_INDS.items():
+        rpdm = rpdms.get(part)
+        if rpdm is None:
+            continue
+        if evidence is None:
+            new[inds] = pdm_correct_reference(lms_init_yx[inds], rpdm)
+        else:
+            w = np.stack([evidence[2 * inds], evidence[2 * inds + 1]],
+                         axis=1).ravel()
+            new[inds] = weighted_pdm_correct_reference(
+                lms_init_yx[inds], rpdm, w)
+    return new
+
+
+def clm_correct_reference(heatmaps: np.ndarray, lms_init_yx: np.ndarray,
+                          clm_pdm, opt: dict | None = None) -> np.ndarray:
+    """ECT-style CLM tuning on the shipped ``clm_models`` shape model
+    (``clm_correct``, pdm_clm_functions.py:172-203).
+
+    The reference delegates to the ECT fork's
+    ``GradientDescentCLMFitter.fit_from_shape`` with the response maps
+    attached as ``image.rspmap_data``; the fork itself is not shipped, so
+    this implements its documented regularized-mean-shift loop (Zhang et
+    al., ECT) with the pickle's own option values: ``numIter`` rounds of
+    (1) Gaussian-kernel mean-shift of each landmark over its response
+    patch (``kernel_covariance``), (2) evidence weighting
+    (``sigRate``/``sigOffset`` via calculate_evidence), (3) the same
+    joint weighted Tikhonov PDM solve as weighted_pdm_transform with
+    ``rho2`` — all on the shipped 30-PC shape model.
+    """
+    opt = dict(opt or {})
+    n_iter = int(opt.get("numIter", 5))
+    kcov = float(opt.get("kernel_covariance", 10))
+    rate = float(opt.get("sigRate", 0.25))
+    offset = float(opt.get("sigOffset", 25))
+    rho2 = float(opt.get("rho2", 20))
+    patch = 30
+    cur = np.asarray(lms_init_yx, np.float64).copy()
+    img = heatmaps.shape[0]
+    for _ in range(n_iter):
+        patches = get_patches_around_landmarks(
+            heatmaps, cur, patch_size=patch, image_shape=img)
+        evidence = calculate_evidence(patches, rate=rate, offset=offset)
+        # Gaussian-kernel mean shift over each landmark's patch
+        r_off = patch // 2
+        grid = np.arange(patch, dtype=np.float64)
+        targets = np.empty_like(cur)
+        for i in range(cur.shape[0]):
+            resp = np.maximum(patches[i, 0], 0.0)
+            # patch row r sits at image coordinate round(cur) + r - r_off
+            ys = np.around(cur[i, 0]) + grid - r_off
+            xs = np.around(cur[i, 1]) + grid - r_off
+            ky = np.exp(-0.5 * (ys - cur[i, 0]) ** 2 / kcov)
+            kx = np.exp(-0.5 * (xs - cur[i, 1]) ** 2 / kcov)
+            kern = resp * ky[:, None] * kx[None, :]
+            tot = kern.sum()
+            if tot <= 1e-12:
+                targets[i] = cur[i]
+                continue
+            targets[i, 0] = (kern.sum(1) @ ys) / tot
+            targets[i, 1] = (kern.sum(0) @ xs) / tot
+        cur = weighted_pdm_correct_reference(targets, clm_pdm, evidence,
+                                             rho=rho2)
+    return cur
+
+
 def predict_artistic_landmarks(image: np.ndarray, variables,
                                pdms: dict[str, PDM] | None = None,
                                model: ArtisticHeatmapNet | None = None
@@ -358,6 +472,11 @@ def predict_artistic_landmarks(image: np.ndarray, variables,
     hm = np.asarray(up[0])
     lms_yx = np.asarray(heatmaps_to_landmarks_yx(up))[0]
     if pdms:
-        lms_yx = feature_based_pdm_correct(lms_yx, pdms)
-        lms_yx = feature_based_pdm_correct(lms_yx, pdms, heatmaps=hm)
+        # dispatch: shipped menpofit models (ReferencePDM, exact menpo
+        # math) vs self-trained PDM (explicit Procrustes)
+        ref = any(hasattr(p, "basis") for p in pdms.values())
+        correct = (feature_based_pdm_correct_reference if ref
+                   else feature_based_pdm_correct)
+        lms_yx = correct(lms_yx, pdms)
+        lms_yx = correct(lms_yx, pdms, heatmaps=hm)
     return lms_yx[:, ::-1].copy()

@@ -187,3 +187,135 @@ def test_feature_based_correction_and_predict():
     variables = model.init(jax.random.key(0), img[None])
     out = predict_artistic_landmarks(img, variables, model=model)
     assert out.shape == (68, 2)
+
+
+# ---- validation against the reference's SHIPPED PDM/CLM model files ----
+
+REF_PDM_DIR = ("/root/reference/Module1/thirdparty/face_of_art/"
+               "pdm_clm_models/pdm_models")
+REF_CLM_DIR = ("/root/reference/Module1/thirdparty/face_of_art/"
+               "pdm_clm_models/clm_models")
+
+import os
+import pytest
+
+needs_ref_models = pytest.mark.skipif(
+    not os.path.isdir(REF_PDM_DIR), reason="reference mount absent")
+
+
+@needs_ref_models
+def test_shipped_pdm_loader_and_set_target_parity():
+    """Every shipped per-part PDM loads, its joint basis is orthonormal,
+    and our set_target math reproduces the pickle's own stored fitting
+    state (target produced by the REAL menpofit library)."""
+    from animateportrait_tpu.io.menpo_pickle import (
+        load_reference_part_pdms)
+    from animateportrait_tpu.models.face_of_art import (
+        pdm_correct_reference)
+
+    rpdms = load_reference_part_pdms(REF_PDM_DIR, "basic")
+    assert set(rpdms) == set(PART_INDS)
+    for part, inds in PART_INDS.items():
+        r = rpdms[part]
+        assert r.n_points == len(inds), part
+        # joint [similarity; shape] basis is orthonormal
+        g = r.basis @ r.basis.T
+        assert np.abs(g - np.eye(g.shape[0])).max() < 1e-10, part
+        # stored state consistency: mean + basis^T [sim_w; w] == target
+        b = np.concatenate([r.stored_sim_weights, r.stored_weights])
+        rec = (r.mean + r.basis.T @ b).reshape(-1, 2)
+        assert np.abs(rec - r.stored_target).max() < 1e-9, part
+        # our set_target on the stored target is a fixed point (the
+        # stored target lies in the model subspace)
+        out = pdm_correct_reference(r.stored_target, r)
+        assert np.abs(out - r.stored_target).max() < 1e-9, part
+        # and on a similarity transform of the mean shape it recovers
+        # that transform exactly (linearized-similarity basis property)
+        th, s = 0.3, 1.7
+        rot = np.array([[np.cos(th), -np.sin(th)],
+                        [np.sin(th), np.cos(th)]])
+        tgt = s * r.mean.reshape(-1, 2) @ rot.T + np.array([5.0, -3.0])
+        out = pdm_correct_reference(tgt, r)
+        assert np.abs(out - tgt).max() < 1e-9, part
+
+
+@needs_ref_models
+def test_shipped_pdm_part_based_correction():
+    """feature_based_pdm_corr on the shipped models: an outlier landmark
+    is pulled toward the per-part shape manifold; an in-model shape
+    passes through unchanged."""
+    from animateportrait_tpu.io.menpo_pickle import (
+        load_reference_part_pdms)
+    from animateportrait_tpu.models.face_of_art import (
+        feature_based_pdm_correct_reference)
+
+    rpdms = load_reference_part_pdms(REF_PDM_DIR, "basic")
+    # build a whole-face shape from the part models' own stored targets.
+    # Stored targets are centered model-frame coordinates (jaw spans
+    # ~±220); a common scale+shift keeps each part in its model subspace
+    # (scale/translation lie in the linearized-similarity basis) while
+    # landing in 256-image coordinates for the heatmap path.
+    face = np.zeros((68, 2))
+    for part, inds in PART_INDS.items():
+        face[inds] = rpdms[part].stored_target * 0.4 + 128.0
+    out = feature_based_pdm_correct_reference(face, rpdms)
+    assert np.abs(out - face).max() < 1e-9  # in-model: fixed point
+
+    noisy = face.copy()
+    noisy[48] += 37.0  # gross mouth outlier
+    out = feature_based_pdm_correct_reference(noisy, rpdms)
+    assert (np.linalg.norm(out[48] - face[48])
+            < 0.7 * np.linalg.norm(noisy[48] - face[48]))
+    # untouched parts stay put
+    assert np.abs(out[PART_INDS["jaw"]] - face[PART_INDS["jaw"]]).max() \
+        < 1e-9
+
+    # weighted path on synthetic heatmaps peaked at the TRUE positions
+    hm = np.zeros((256, 256, 68), np.float32)
+    for i, (y, x) in enumerate(np.clip(face, 2, 253).astype(int)):
+        hm[y - 2:y + 3, x - 2:x + 3, i] = 10.0
+    out_w = feature_based_pdm_correct_reference(noisy, rpdms,
+                                                heatmaps=hm)
+    assert np.linalg.norm(out_w[48] - face[48]) < \
+        np.linalg.norm(noisy[48] - face[48])
+
+
+@needs_ref_models
+def test_shipped_clm_model_and_tuning():
+    """clm_models/basic_all loads (68 pts, 30 active PCs like the
+    reference fitter), set_target math holds on its stored state, and
+    the ECT-style tuning loop pulls landmarks toward response peaks
+    while staying on the shape manifold."""
+    from animateportrait_tpu.io.menpo_pickle import load_reference_clm
+    from animateportrait_tpu.models.face_of_art import (
+        clm_correct_reference, pdm_correct_reference)
+
+    clm_pdm, opt = load_reference_clm(
+        os.path.join(REF_CLM_DIR, "basic_all"), n_shape=30)
+    assert clm_pdm.n_points == 68 and clm_pdm.n_shape == 30
+    assert opt["numIter"] == 5 and opt["rho2"] == 20
+    g = clm_pdm.basis @ clm_pdm.basis.T
+    assert np.abs(g - np.eye(34)).max() < 1e-10
+
+    face = pdm_correct_reference(clm_pdm.stored_target, clm_pdm)
+    # stored target of the full model is in the 132-PC space, not
+    # necessarily the 30-PC one; project first, then fixed-point check
+    again = pdm_correct_reference(face, clm_pdm)
+    assert np.abs(again - face).max() < 1e-9
+
+    # shift the face; heatmaps peak at the true positions; tuning must
+    # recover most of the offset
+    rng = np.random.default_rng(0)
+    face256 = (face - face.mean(0)) * (80.0 / np.abs(
+        face - face.mean(0)).max()) + 128.0
+    face256 = pdm_correct_reference(face256, clm_pdm)
+    hm = np.zeros((256, 256, 68), np.float32)
+    yy, xx = np.mgrid[0:256, 0:256].astype(np.float32)
+    for i, (y, x) in enumerate(face256):
+        hm[:, :, i] = np.exp(-((yy - y) ** 2 + (xx - x) ** 2) / 18.0)
+    init = face256 + rng.normal(0, 4.0, face256.shape)
+    init = pdm_correct_reference(init, clm_pdm)
+    out = clm_correct_reference(hm, init, clm_pdm, opt)
+    err_in = np.linalg.norm(init - face256, axis=1).mean()
+    err_out = np.linalg.norm(out - face256, axis=1).mean()
+    assert err_out < 0.6 * err_in, (err_in, err_out)
