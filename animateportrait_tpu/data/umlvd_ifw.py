@@ -351,6 +351,20 @@ class UMLVDIFWDataset:
         img = _load_img(fakeBs, grayscale=cfg.output_nc == 1, size=ls)
         item["fakeB_static"] = _to_tensor(img, pA["crop_pos"], cs,
                                           pA["flip"])
+
+        # Delaunay simplices of the two warp-target control-point sets:
+        # the only part of the reference's per-item griddata grids
+        # (umlvd_ifw_dataset.py:409-425) that resists XLA. ~100 us each
+        # here; the dense grid evaluation runs inside the jitted train
+        # step (ops.tps.linear_motion_grid) with EXACT griddata-linear
+        # semantics.
+        from animateportrait_tpu.ops.tps import (
+            delaunay_simplices, ref_edge_anchors_yx)
+        anch = ref_edge_anchors_yx(cs)
+        item["tri_motion"] = delaunay_simplices(
+            np.concatenate([item["tB_lm_68"][:, ::-1], anch], 0))
+        item["tri_motion2"] = delaunay_simplices(
+            np.concatenate([item["tB2_lm_68"][:, ::-1], anch], 0))
         return item
 
     def batch(self, indices, rng: np.random.Generator,

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -234,5 +236,115 @@ def motion_grid_from_landmarks(
     map_y = mapped[..., 0]
     map_x = mapped[..., 1]
     grid = jnp.stack([map_x, map_y], axis=-1)
-    half = (size - 1) / 2.0 + 0.5  # 127.5 for size 256, matching reference
+    half = (size - 1) / 2.0  # 127.5 for size 256 (map_xy/127.5 - 1)
+    return grid / half - 1.0
+
+
+def ref_edge_anchors_yx(size: int = 256) -> np.ndarray:
+    """The reference's EXACT 8 border anchors, duplicates included
+    (umlvd_ifw_dataset.py:62 / umlvdfw_test_dataset.py:69), in (y, x),
+    scaled from its hardcoded 255 to ``size - 1``."""
+    m = float(size - 1)
+    return np.array([[0, 0], [m, m], [0, m], [m, 0],
+                     [0, m], [m, 0], [m, m], [m, m]], np.float64)
+
+
+def delaunay_simplices(dest_yx: np.ndarray, pad_to: int = 160
+                       ) -> np.ndarray:
+    """Host-side Delaunay triangulation of the warp control points.
+
+    scipy ``griddata(method='linear')`` = Qhull Delaunay of the scattered
+    points + barycentric interpolation; the triangulation is the only
+    part that resists XLA (data-dependent combinatorics over 76 points,
+    ~100 us on host), so it runs here and the dense per-pixel evaluation
+    runs on device (:func:`linear_motion_grid`). Qhull merges the
+    reference's duplicated anchors exactly like griddata does.
+
+    Returns (pad_to, 3) int32, padded by repeating the first simplex
+    (harmless for the argmax-containment evaluation).
+    """
+    from scipy.spatial import Delaunay
+
+    tri = Delaunay(np.asarray(dest_yx, np.float64)).simplices
+    if tri.shape[0] > pad_to:
+        raise ValueError(f"{tri.shape[0]} simplices > pad_to={pad_to}")
+    pad = np.broadcast_to(tri[:1], (pad_to - tri.shape[0], 3))
+    return np.concatenate([tri, pad], 0).astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def linear_motion_grid(lm_src: jax.Array, lm_dst: jax.Array,
+                       simplices: jax.Array, size: int = 256) -> jax.Array:
+    """EXACT ``cal_motion256`` (umlvdfw_test_dataset.py:67-81) on device.
+
+    Piecewise-linear (Delaunay barycentric) interpolation of the source
+    coordinates over the dest control points — bit-matching scipy
+    ``griddata(method='linear')`` up to fp order, given the host-computed
+    triangulation of the same points (:func:`delaunay_simplices`).
+
+    The evaluation is dense and regular (TPU-friendly): for every pixel,
+    barycentric coordinates against all T triangles, argmax of the
+    minimum coordinate picks the containing triangle (unique for points
+    inside; the argmax extension also covers fp-boundary pixels, where
+    griddata's choice is tie-broken arbitrarily).
+
+    Args:
+      lm_src: (b, 68, 2) source-frame landmarks, (x, y) pixels.
+      lm_dst: (b, 68, 2) target-pose landmarks, (x, y) pixels.
+      simplices: (b, T, 3) int32 triangulations of [lm_dst_yx; anchors].
+    Returns:
+      (b, size, size, 2) normalized grid, (x, y) order, map/half - 1
+      with half = (size-1)/2 (127.5), as the reference.
+    """
+    b = lm_src.shape[0]
+    anchors = jnp.asarray(ref_edge_anchors_yx(size), jnp.float32)
+    anchors = jnp.broadcast_to(anchors[None], (b, 8, 2))
+    src = jnp.concatenate([lm_src[..., ::-1].astype(jnp.float32),
+                           anchors], axis=1)   # (b, 76, 2) (y, x)
+    dst = jnp.concatenate([lm_dst[..., ::-1].astype(jnp.float32),
+                           anchors], axis=1)
+
+    gy, gx = jnp.meshgrid(jnp.arange(size, dtype=jnp.float32),
+                          jnp.arange(size, dtype=jnp.float32),
+                          indexing="ij")
+    pix = jnp.stack([gy, gx], -1).reshape(size * size, 2)
+
+    def one(src_i, dst_i, tri):
+        d = dst_i[tri]                      # (T, 3, 2) dest vertices
+        s = s0, s1, s2 = (src_i[tri[:, 0]], src_i[tri[:, 1]],
+                          src_i[tri[:, 2]])
+        e1 = d[:, 1] - d[:, 0]              # (T, 2)
+        e2 = d[:, 2] - d[:, 0]
+        det = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+        degen = jnp.abs(det) < 1e-9         # merged-duplicate triangles
+        det = jnp.where(degen, 1.0, det)
+        # rows of the 2x2 inverse of [e1 e2] (columns)
+        i00 = e2[:, 1] / det
+        i01 = -e2[:, 0] / det
+        i10 = -e1[:, 1] / det
+        i11 = e1[:, 0] / det
+
+        def rows(p):                        # p: (hw, 2) pixel chunk
+            rel_y = p[None, :, 0] - d[:, None, 0, 0]   # (T, hw)
+            rel_x = p[None, :, 1] - d[:, None, 0, 1]
+            l1 = i00[:, None] * rel_y + i01[:, None] * rel_x
+            l2 = i10[:, None] * rel_y + i11[:, None] * rel_x
+            l0 = 1.0 - l1 - l2
+            minb = jnp.minimum(l0, jnp.minimum(l1, l2))
+            minb = jnp.where(degen[:, None], -jnp.inf, minb)
+            t = jnp.argmax(minb, axis=0)                # (hw,)
+            l1t = jnp.take_along_axis(l1, t[None], 0)[0]
+            l2t = jnp.take_along_axis(l2, t[None], 0)[0]
+            l0t = 1.0 - l1t - l2t
+            return (l0t[:, None] * s0[t] + l1t[:, None] * s1[t]
+                    + l2t[:, None] * s2[t])             # (hw, 2) (y, x)
+
+        # chunk pixel rows to bound the (T, hw) intermediates
+        n_chunks = max(1, size // 32)
+        out = jax.lax.map(rows, pix.reshape(n_chunks, -1, 2))
+        return out.reshape(size, size, 2)
+
+    mapped = jax.vmap(one)(src, dst, simplices)
+    grid = jnp.stack([mapped[..., 1], mapped[..., 0]], -1)  # (x, y)
+    half = (size - 1) / 2.0
     return grid / half - 1.0

@@ -169,7 +169,8 @@ class Module2Renderer:
                  static_g: ResnetStyle2Generator | None = None,
                  cartoon_g: Photo2CartoonGenerator | None = None,
                  use_bf16: bool = False, output_uint8: bool = False,
-                 data_parallel: bool = False):
+                 data_parallel: bool = False,
+                 motion_mode: str = "linear"):
         if use_bf16:
             # cast the per-frame nets (trident generator + intrinsic-flow
             # Unet params — flow dominates the per-frame FLOPs) to
@@ -202,6 +203,12 @@ class Module2Renderer:
         self.crop_size = crop_size
         self.frame_batch = frame_batch
         self.output_uint8 = output_uint8
+        # "linear" (default): EXACT cal_motion256 semantics — host-side
+        # Delaunay of the 76 control points per frame (~100 us) + dense
+        # on-device barycentric evaluation (ops.tps.linear_motion_grid).
+        # "tps": the fully-on-device polyharmonic-spline substitution
+        # (no host in the loop; grids differ sub-pixel from griddata).
+        self.motion_mode = motion_mode
         # AP_FETCH=overlap: start each batch's host copy right after
         # its dispatch (copy rides the link while later batches
         # compute) and concat on host. Default "bulk": one device-side
@@ -294,16 +301,23 @@ class Module2Renderer:
 
     # --- per frame batch ---
     def _frames(self, nets, g_cache, mask, fake_static,
-                a_lm68, tb_lm68s, motions=None, return_all=False):
+                a_lm68, tb_lm68s, motions=None, simplices=None,
+                return_all=False):
         B = tb_lm68s.shape[0]
         cs = self.crop_size
         if motions is None:
-            # TPS motion grids computed in the same program — a separate
+            # Motion grids computed in the same program — a separate
             # dispatch per batch costs a full tunnel round trip.
             # (A precomputed grid can be injected instead, e.g. the
             # reference's scipy-griddata grid for exact-parity runs.)
-            motions = motion_grid_from_landmarks(
-                jnp.broadcast_to(a_lm68, tb_lm68s.shape), tb_lm68s, cs)
+            src = jnp.broadcast_to(a_lm68, tb_lm68s.shape)
+            if simplices is not None:
+                # exact griddata-linear semantics: host Delaunay passed
+                # in, dense barycentric evaluation on device
+                from animateportrait_tpu.ops.tps import linear_motion_grid
+                motions = linear_motion_grid(src, tb_lm68s, simplices, cs)
+            else:
+                motions = motion_grid_from_landmarks(src, tb_lm68s, cs)
         # landmark dot images rasterized ON DEVICE from the 68 coords
         # (cv2-exact): only 68x2 floats cross the host->device link per
         # frame instead of a 64 KB image
@@ -403,18 +417,35 @@ class Module2Renderer:
             mo_p = np.concatenate(
                 [motions, np.repeat(motions[-1:], pad, 0)],
                 0) if pad else np.asarray(motions)
+        tris_p = None
+        if motions is None and self.motion_mode == "linear":
+            # exact-parity grids: triangulate each frame's dest control
+            # points on the host (~100 us per 76-point frame) and hand
+            # the simplices to the jitted barycentric evaluation
+            from animateportrait_tpu.ops.tps import (
+                delaunay_simplices, ref_edge_anchors_yx)
+            anch = ref_edge_anchors_yx(cs)
+            tris_p = np.stack([
+                delaunay_simplices(
+                    np.concatenate([f[:, ::-1], anch], 0))
+                for f in tb68_p])
         for j in range(0, tb68_p.shape[0], fb):
             lm_batch = jnp.asarray(tb68_p[j: j + fb], jnp.float32)
             mo_batch = None if mo_p is None else jnp.asarray(
                 mo_p[j: j + fb], jnp.float32)
+            tri_batch = None if tris_p is None else jnp.asarray(
+                tris_p[j: j + fb])
             if self._batch_sharding is not None:
                 lm_batch = jax.device_put(lm_batch, self._batch_sharding)
                 if mo_batch is not None:
                     mo_batch = jax.device_put(mo_batch,
                                               self._batch_sharding)
+                if tri_batch is not None:
+                    tri_batch = jax.device_put(tri_batch,
+                                               self._batch_sharding)
             out = self._frames_jit(
                 self._frame_nets, g_cache, prep[1], prep[2], a68,
-                lm_batch, mo_batch)
+                lm_batch, mo_batch, tri_batch)
             # keep the device array and (overlap mode) start its host
             # copy in the background — a synchronous np.asarray here
             # would stall the dispatch pipeline on every batch (compute,
@@ -463,8 +494,17 @@ class Module2Renderer:
         g_cache = self._encode_jit(self._frame_nets, photo_fore, a68)
         lm_batch = jnp.asarray(tb_lm68s, jnp.float32)
         mo = None if motions is None else jnp.asarray(motions, jnp.float32)
+        tri = None
+        if mo is None and self.motion_mode == "linear":
+            from animateportrait_tpu.ops.tps import (
+                delaunay_simplices, ref_edge_anchors_yx)
+            anch = ref_edge_anchors_yx(self.crop_size)
+            tri = jnp.asarray(np.stack([
+                delaunay_simplices(
+                    np.concatenate([f[:, ::-1], anch], 0))
+                for f in np.asarray(tb_lm68s)]))
         vis = self._frames_jit(self._frame_nets, g_cache, mask,
-                               fake_static, a68, lm_batch, mo,
+                               fake_static, a68, lm_batch, mo, tri,
                                return_all=True)
         T = lm_batch.shape[0]
         out = {k: np.asarray(v) for k, v in vis.items()}

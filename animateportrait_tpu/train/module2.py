@@ -412,6 +412,18 @@ def build_train_step(cfg: Module2Config):
         if "warp_motion" in batch:
             warp_motion = batch["warp_motion"]
             warp_motion2 = batch["warp_motion2"]
+        elif "tri_motion" in batch:
+            # exact griddata-linear grids: the data pipeline ships each
+            # item's host-computed Delaunay simplices; the dense
+            # barycentric evaluation stays on device
+            from animateportrait_tpu.ops.tps import linear_motion_grid
+
+            warp_motion = linear_motion_grid(
+                batch["A_lm_68"][:, :68], batch["tB_lm_68"][:, :68],
+                batch["tri_motion"], cfg.crop_size)
+            warp_motion2 = linear_motion_grid(
+                batch["A_lm_68"][:, :68], batch["tB2_lm_68"][:, :68],
+                batch["tri_motion2"], cfg.crop_size)
         else:
             from animateportrait_tpu.ops.tps import (
                 motion_grid_from_landmarks)

@@ -139,6 +139,29 @@ def _smooth_photo(rng, size=256):
     return np.clip(up, -1.0, 1.0)
 
 
+def _talking_offset(a68, rng):
+    """Realistic talking-head target landmarks: rigid head pose (±3 deg
+    rotation, ±4 px translation, ±2% scale — typical of the driver's
+    savgol-smoothed pose tracks), mouth opening up to ~12 px (the
+    dominant per-frame motion in predicted tracks), brow raise, and
+    sub-px residual jitter. Amplitudes match what the Module1 chain
+    produces at 256² (amp_pos 0.5 on ±25 px raw pose, lip amps 2.0)."""
+    c = a68.mean(0)
+    th = np.deg2rad(rng.uniform(-3, 3))
+    s = 1.0 + rng.uniform(-0.02, 0.02)
+    rot = np.array([[np.cos(th), -np.sin(th)],
+                    [np.sin(th), np.cos(th)]], np.float32)
+    tb = (a68 - c) @ (s * rot).T + c + rng.uniform(-4, 4, (1, 2))
+    # mouth opening: outer lip (48-59) and inner lip (60-67) move apart
+    open_px = rng.uniform(4.0, 12.0)
+    for i in range(48, 68):
+        rel = a68[i, 1] - a68[48:68, 1].mean()
+        tb[i, 1] += np.sign(rel) * open_px * (0.5 + 0.5 * (i >= 60))
+    tb[17:27, 1] -= rng.uniform(0, 3.0)   # brow raise
+    tb += rng.normal(0, 0.5, tb.shape)    # residual jitter
+    return np.asarray(tb, np.float32)
+
+
 def _psnr(a, b, peak=2.0):
     mse = float(np.mean((np.asarray(a, np.float64)
                          - np.asarray(b, np.float64)) ** 2))
@@ -241,7 +264,7 @@ def _run_style(style, rng):
 
     photo = _smooth_photo(rng)
     a68 = _face_landmarks()
-    tb68 = a68 + rng.uniform(-3, 3, a68.shape).astype(np.float32)
+    tb68 = _talking_offset(a68, rng)
 
     a_img = draw_landmarks(256, 256, a68)
     tb_img = draw_landmarks(256, 256, tb68)
@@ -257,18 +280,39 @@ def _run_style(style, rng):
     psnr = _psnr(ours_refgrid, ref)
     assert psnr >= 40.0, f"{style}: composed chain PSNR {psnr:.1f} dB < 40"
 
-    # (2) TPS-substitution characterization: our on-device TPS replaces
-    # the reference's per-frame host scipy griddata (a documented design
-    # substitution, SURVEY §7.2 step 6). Quantify the warp disagreement
-    # in pixels — measured ~0.8 px mean / <4 px max inside the landmark
-    # hull for +-3 px landmark motion — and keep a loose whole-frame
-    # PSNR floor on the composed output (a random-weights generator
-    # amplifies sub-pixel warp differences, so PSNR here is pessimistic
-    # relative to trained weights).
+    # (2) PRODUCTION grid path: the renderer's default "linear" motion
+    # mode computes the reference's exact griddata-linear grid on device
+    # (host Delaunay + barycentric evaluation). Grid must match
+    # cal_motion256 to fp noise and the composed chain must stay >=30 dB
+    # even on a random-weights generator (VERDICT r2 Next #4).
     from scipy.spatial import Delaunay
 
-    from animateportrait_tpu.ops.tps import motion_grid_from_landmarks
+    from animateportrait_tpu.ops.tps import (
+        delaunay_simplices, linear_motion_grid, motion_grid_from_landmarks,
+        ref_edge_anchors_yx)
 
+    tri = delaunay_simplices(
+        np.concatenate([tb68[:, ::-1], ref_edge_anchors_yx(256)], 0))
+    motion_lin = np.asarray(linear_motion_grid(
+        jnp.asarray(a68[None]), jnp.asarray(tb68[None]),
+        jnp.asarray(tri[None]), 256))[0]
+    dpx_lin = np.abs(motion_lin - motion_ref[0]) * 127.5
+    assert np.nanmax(dpx_lin) < 1e-2, np.nanmax(dpx_lin)
+
+    ours_lin = renderer(photo, a68, tb68[None])
+    psnr_lin = _psnr(ours_lin, ref)
+    assert psnr_lin >= 30.0, (
+        f"{style}: production (linear-grid) chain PSNR {psnr_lin:.1f} dB")
+
+    # (3) TPS-substitution characterization (motion_mode="tps", the
+    # no-host-in-the-loop fallback): quantify the warp disagreement in
+    # pixels inside the face hull at REALISTIC talking-head amplitudes
+    # (rigid pose + mouth opening, _talking_offset). The smooth spline
+    # tracks the piecewise-linear grid to ~1 px on average but deviates
+    # hard (measured ~35-40 px) in the lip fold where a 12 px mouth
+    # opening makes the griddata interpolant discontinuous-gradient —
+    # which is exactly why "linear" is the production default and TPS
+    # only a fallback.
     motion_tps = np.asarray(motion_grid_from_landmarks(
         jnp.asarray(a68[None]), jnp.asarray(tb68[None]), 256))[0]
     dpx = np.abs(motion_tps - motion_ref[0]) * 127.5
@@ -276,15 +320,10 @@ def _run_style(style, rng):
     ys, xs = np.mgrid[0:256, 0:256]
     inside = (hull.find_simplex(
         np.stack([xs.ravel(), ys.ravel()], 1)) >= 0).reshape(256, 256)
-    assert dpx[inside].mean() < 1.5, dpx[inside].mean()
-    assert dpx[inside].max() < 6.0, dpx[inside].max()
-    assert dpx.mean() < 3.0, dpx.mean()
-
-    ours_tps = renderer(photo, a68, tb68[None])
-    psnr_tps = _psnr(ours_tps, ref)
-    assert psnr_tps >= 18.0, (
-        f"{style}: TPS-substituted chain PSNR {psnr_tps:.1f} dB")
-    return psnr, psnr_tps
+    assert dpx[inside].mean() < 2.5, dpx[inside].mean()
+    assert np.quantile(dpx[inside], 0.95) < 8.0, (
+        np.quantile(dpx[inside], 0.95))
+    return psnr, psnr_lin
 
 
 @pytest.mark.slow

@@ -45,10 +45,11 @@ def test_motion_grid_identity_landmarks(rng):
     lm = rng.uniform(40, 210, (1, 68, 2)).astype(np.float32)
     grid = motion_grid_from_landmarks(jnp.asarray(lm), jnp.asarray(lm),
                                       size=64)
-    # identity grid in the /127.5-1 convention (here /31.5+0.5... use size 64)
+    # identity grid in the reference's map/((size-1)/2) - 1 convention
+    # (cal_motion256: map_xy/127.5 - 1 at size 256)
     g = np.asarray(grid)
     gy, gx = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
-    half = (64 - 1) / 2.0 + 0.5
+    half = (64 - 1) / 2.0
     np.testing.assert_allclose(g[0, ..., 0], gx / half - 1.0, atol=2e-3)
     np.testing.assert_allclose(g[0, ..., 1], gy / half - 1.0, atol=2e-3)
 
@@ -88,7 +89,7 @@ def test_motion_grid_matches_griddata_golden(rng):
     gz = griddata(dest, source, (gy, gx), method="linear")
     map_x = gz[..., 1]
     map_y = gz[..., 0]
-    half = m / 2.0 + 0.5
+    half = m / 2.0
     ref_grid = np.stack([map_x, map_y], -1) / half - 1.0
 
     ours = np.asarray(motion_grid_from_landmarks(
@@ -203,3 +204,43 @@ def test_motion_grid_close_to_scipy_griddata(rng):
     # should be sub-pixel-ish in the landmark-dense face interior
     assert float(np.median(diff)) < 0.012   # ~1.5 px of 256
     assert float(np.mean(diff)) < 0.025
+
+
+def test_linear_motion_grid_matches_griddata_exactly(rng):
+    """linear_motion_grid = EXACT cal_motion256: host Delaunay + device
+    barycentric interpolation reproduces scipy griddata(method='linear')
+    to fp32 noise at realistic talking-head amplitudes."""
+    from scipy.interpolate import griddata
+
+    from animateportrait_tpu.ops.tps import (
+        delaunay_simplices, linear_motion_grid, ref_edge_anchors_yx)
+
+    size = 256
+    lm_dst = rng.uniform(40, 215, (68, 2))
+    lm_src = lm_dst + rng.normal(0, 6.0, (68, 2))
+    lm_src[48:68] += rng.normal(0, 4.0, (20, 2))   # mouth motion
+
+    edges = ref_edge_anchors_yx(size)
+    dest = np.concatenate([lm_dst[:, ::-1], edges])
+    source = np.concatenate([lm_src[:, ::-1], edges])
+    gy, gx = np.mgrid[0:size - 1:complex(size), 0:size - 1:complex(size)]
+    gz = griddata(dest, source, (gy, gx), method="linear")
+    ref_grid = np.stack([gz[..., 1], gz[..., 0]], -1) / 127.5 - 1.0
+
+    tri = delaunay_simplices(dest)
+    ours = np.asarray(linear_motion_grid(
+        jnp.asarray(lm_src[None], jnp.float32),
+        jnp.asarray(lm_dst[None], jnp.float32),
+        jnp.asarray(tri[None]), size))[0]
+
+    valid = ~np.isnan(ref_grid).any(-1)
+    dpx = np.abs(ours - ref_grid)[valid] * 127.5
+    assert dpx.max() < 1e-2, dpx.max()
+    # batched path: two frames at once agree with per-frame evaluation
+    tri2 = np.stack([tri, tri])
+    both = np.asarray(linear_motion_grid(
+        jnp.asarray(np.stack([lm_src, lm_src]), jnp.float32),
+        jnp.asarray(np.stack([lm_dst, lm_dst]), jnp.float32),
+        jnp.asarray(tri2), size))
+    np.testing.assert_allclose(both[0], both[1], atol=0)
+    np.testing.assert_allclose(both[0], ours, atol=0)
