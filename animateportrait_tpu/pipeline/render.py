@@ -209,13 +209,14 @@ class Module2Renderer:
         # "tps": the fully-on-device polyharmonic-spline substitution
         # (no host in the loop; grids differ sub-pixel from griddata).
         self.motion_mode = motion_mode
-        # AP_FETCH=overlap: start each batch's host copy right after
-        # its dispatch (copy rides the link while later batches
-        # compute) and concat on host. Default "bulk": one device-side
-        # concat + one transfer at the end. Which wins depends on the
-        # link: bulk minimizes round trips (tunnel), overlap hides
-        # transfer time behind compute (local PCIe/ICI).
-        self._fetch_mode = os.environ.get("AP_FETCH", "bulk")
+        # AP_FETCH=overlap (default): start each batch's host copy right
+        # after its dispatch (copy rides the link while later batches
+        # compute) and concat on host. "bulk": one device-side concat +
+        # one transfer at the end (fewest round trips). Measured on the
+        # tunnel 2026-08-19: overlap 155 f/s vs bulk 111 f/s e2e — the
+        # downlink hides completely behind compute; bulk stays available
+        # for links where round-trip count dominates.
+        self._fetch_mode = os.environ.get("AP_FETCH", "overlap")
         # checkpoint variables enter the jits as ARGUMENTS — closing
         # over them inlines hundreds of MB of weight literals into the
         # program, which makes XLA compiles take minutes and defeats any
