@@ -73,6 +73,13 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="run the per-frame nets (trident generator + "
                         "intrinsic-flow Unet) in bfloat16; the "
                         "once-per-photo nets stay fp32")
+    p.add_argument("--warp_mode", default="linear",
+                   choices=["linear", "tps"],
+                   help="per-frame warp grids: 'linear' = the "
+                        "reference's exact griddata-linear semantics "
+                        "(host Delaunay + on-device barycentric eval); "
+                        "'tps' = fully-on-device polyharmonic spline "
+                        "(no host in the loop, sub-px mean deviation)")
     p.add_argument("--seed", type=int, default=0)
     # Module1 model/trainer hyperparameters, accepted like the reference
     # driver (main_end2end_module2.py:147-158). The inference engine
@@ -253,7 +260,8 @@ def build_pipeline(args):
                           photo2cartoon=cartoon_v),
         style=style, output_nc=nc, frame_batch=args.frame_batch,
         output_uint8=True, data_parallel=args.render_dp,
-        use_bf16=args.render_bf16)
+        use_bf16=args.render_bf16,
+        motion_mode=getattr(args, "warp_mode", "linear"))
 
     return TalkingPortraitPipeline(detector, predictor, audio, renderer,
                                    landmark_fn=landmark_fn)

@@ -311,36 +311,47 @@ def linear_motion_grid(lm_src: jax.Array, lm_dst: jax.Array,
 
     def one(src_i, dst_i, tri):
         d = dst_i[tri]                      # (T, 3, 2) dest vertices
-        s = s0, s1, s2 = (src_i[tri[:, 0]], src_i[tri[:, 1]],
-                          src_i[tri[:, 2]])
+        s = src_i[tri]                      # (T, 3, 2) source vertices
         e1 = d[:, 1] - d[:, 0]              # (T, 2)
         e2 = d[:, 2] - d[:, 0]
         det = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
         degen = jnp.abs(det) < 1e-9         # merged-duplicate triangles
         det = jnp.where(degen, 1.0, det)
-        # rows of the 2x2 inverse of [e1 e2] (columns)
+        # rows of the 2x2 inverse of [e1 e2] (columns): lam12 = Minv(p-D0)
         i00 = e2[:, 1] / det
         i01 = -e2[:, 0] / det
         i10 = -e1[:, 1] / det
         i11 = e1[:, 0] / det
+        s0, s1, s2 = s[:, 0], s[:, 1], s[:, 2]
+        hi = jax.lax.Precision.HIGHEST
 
         def rows(p):                        # p: (hw, 2) pixel chunk
-            rel_y = p[None, :, 0] - d[:, None, 0, 0]   # (T, hw)
+            # barycentric coords via the RELATIVE form (p - D0): affine-
+            # in-absolute-coords coefficients cancel catastrophically in
+            # f32 at 256-pixel scale (measured ~1e-2 px); this form stays
+            # at ~5e-5 px
+            rel_y = p[None, :, 0] - d[:, None, 0, 0]     # (T, hw)
             rel_x = p[None, :, 1] - d[:, None, 0, 1]
             l1 = i00[:, None] * rel_y + i01[:, None] * rel_x
             l2 = i10[:, None] * rel_y + i11[:, None] * rel_x
             l0 = 1.0 - l1 - l2
             minb = jnp.minimum(l0, jnp.minimum(l1, l2))
             minb = jnp.where(degen[:, None], -jnp.inf, minb)
-            t = jnp.argmax(minb, axis=0)                # (hw,)
-            l1t = jnp.take_along_axis(l1, t[None], 0)[0]
-            l2t = jnp.take_along_axis(l2, t[None], 0)[0]
-            l0t = 1.0 - l1t - l2t
-            return (l0t[:, None] * s0[t] + l1t[:, None] * s1[t]
-                    + l2t[:, None] * s2[t])             # (hw, 2) (y, x)
+            # gather-free containment select: per-triangle interpolant
+            # contracted against a one-hot of the argmax triangle (fp
+            # ties averaged — they agree to fp noise on the shared
+            # edge). The contraction is an MXU matmul over T instead of
+            # 65k row gathers (XLA's TPU gather is the slow path —
+            # PERF.md "chunked warp gathers").
+            best = jnp.max(minb, axis=0, keepdims=True)  # (1, hw)
+            onehot = (minb >= best).astype(jnp.float32)
+            onehot = onehot / jnp.sum(onehot, 0, keepdims=True)
+            v = (l0[..., None] * s0[:, None] + l1[..., None] * s1[:, None]
+                 + l2[..., None] * s2[:, None])          # (T, hw, 2)
+            return jnp.einsum("th,thj->hj", onehot, v, precision=hi)
 
         # chunk pixel rows to bound the (T, hw) intermediates
-        n_chunks = max(1, size // 32)
+        n_chunks = max(1, size // 64)
         out = jax.lax.map(rows, pix.reshape(n_chunks, -1, 2))
         return out.reshape(size, size, 2)
 

@@ -94,6 +94,11 @@ def build_test_argparser() -> argparse.ArgumentParser:
     # TPU-native extra
     p.add_argument("--frame_batch", type=int, default=8,
                    help="frames per jitted render program")
+    p.add_argument("--warp_mode", default="linear",
+                   choices=["linear", "tps"],
+                   help="'linear' = exact reference griddata-linear warp "
+                        "grids (host Delaunay + device barycentric); "
+                        "'tps' = fully-on-device spline substitution")
     return p
 
 
@@ -223,7 +228,8 @@ def build_renderer(args):
                           photo2cartoon=cartoon_v),
         style=style, output_nc=nc, ngf=args.ngf,
         div=args.netg_resb_div, disp=args.netg_resb_disp,
-        crop_size=cs, frame_batch=args.frame_batch)
+        crop_size=cs, frame_batch=args.frame_batch,
+        motion_mode=getattr(args, "warp_mode", "linear"))
 
 
 def main(argv=None):
