@@ -3,19 +3,29 @@
 The reference extracts f0 with ``pysptk.sptk.rapt`` (C code on the host,
 extract_f0_func.py:120). RAPT itself is a two-pass NCCF + dynamic-programming
 tracker with data-dependent candidate sets — a poor fit for XLA. This module
-implements the same signal model (normalized cross-correlation over a lag
-range with per-gender bounds, voicing decision, log-f0 output with a -1e10
-unvoiced sentinel) as a fully batched, static-shape JAX computation:
+implements the same signal model as a fully batched, static-shape JAX
+computation:
 
   - all-lag NCCF via rFFT cross-correlation (one batched FFT per utterance),
-  - parabolic sub-lag refinement,
-  - NCCF-threshold + energy voicing decision,
-  - 3-tap median smoothing of the lag track.
+    with RAPT's ``a_fact`` damping so silence yields low correlations,
+  - parabolic sub-lag refinement of top-K local maxima,
+  - RAPT's dynamic program over (K voiced candidates + 1 unvoiced state)
+    per frame: voicing is decided BY the DP (local unvoiced bias +
+    voicing-transition costs), not by a hard threshold, and octave jumps
+    between voiced frames pay the classic ``DOUBL_C`` penalty,
+  - log-f0 output with the -1e10 unvoiced sentinel.
 
-This is an intentional substitution, not a port: outputs agree with RAPT to
-within a few Hz on voiced frames in practice, and downstream consumers only
-see the speaker-normalized, 257-bin-quantized encoding
-(Module1/src/autovc/utils.py:95-146) which is robust to that difference.
+This is an intentional substitution, not a port: outputs agree with RAPT on
+>= 0.92 of voicing decisions and within ~2 Hz median on voiced frames, with
+octave-scale disagreements on 6-10% of common-voiced frames that a harmonic
+-comb attribution splits roughly evenly between the two trackers
+(tests/test_f0_golden.py quantifies all of this on real speech, both gender
+bands). Downstream consumers only see the speaker-normalized,
+257-bin-quantized encoding (Module1/src/autovc/utils.py:95-146) which is
+robust to that difference. The DP weights (vo_bias/trans_c/freq_wt/doubl_c/
+lag_wt) were tuned against the golden on the reference's own example clip;
+the defaults below are NOT Talkin's table values because the cost model is
+simplified (no rms-ratio/Itakura transition modulation).
 """
 from __future__ import annotations
 
@@ -32,7 +42,7 @@ def _next_pow2(n: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sr", "hop", "lo", "hi", "frame_len", "nccf_thresh"),
+    static_argnames=("sr", "hop", "lo", "hi", "frame_len", "n_cands"),
 )
 def track_f0(
     x: jax.Array,
@@ -40,13 +50,18 @@ def track_f0(
     hop: int = 256,
     lo: float = 50.0,
     hi: float = 600.0,
-    frame_len: int = 400,
-    nccf_thresh: float = 0.30,
+    frame_len: int = 280,
+    n_cands: int = 12,
+    vo_bias: float = 0.08,
+    trans_c: float = 0.05,
+    freq_wt: float = 0.1,
+    doubl_c: float = 0.35,
+    lag_wt: float = 0.3,
 ) -> tuple[jax.Array, jax.Array]:
     """Track f0 of a mono signal.
 
     Args:
-      x: (n_samples,) float32 waveform.
+      x: (n_samples,) float32 waveform (unit scale, i.e. wav/32768).
       lo/hi: pitch search range in Hz (reference genders: M 50-250, F 100-600,
              extract_f0_func.py:52-56).
     Returns:
@@ -75,7 +90,13 @@ def track_f0(
     ff = jnp.fft.rfft(frames, n=nfft)
     corr = jnp.fft.irfft(jnp.conj(fa) * ff, n=nfft)[:, : lag_max + 1]  # (T, L+1)
 
-    # energy terms: e0 = ||a||^2 ; ek = sum_j f[j+k]^2 over the window
+    # energy terms: e0 = ||a||^2 ; ek = sum_j f[j+k]^2 over the window.
+    # RAPT's A_FACT (an ABSOLUTE energy floor: 10000 at 16-bit sample
+    # scale, rescaled to the unit-amplitude input — NOT per-sample, so
+    # no `win` factor) inflates the denominator so silence and very
+    # low-level frames produce LOW correlations instead of 0/0 noise —
+    # this is what lets the DP's unvoiced state win there.
+    a_fact = 10000.0 / 32768.0 ** 2
     sq = frames * frames
     csum = jnp.cumsum(sq, axis=1)
     zeros = jnp.zeros((csum.shape[0], 1), csum.dtype)
@@ -83,12 +104,12 @@ def track_f0(
     lags_all = jnp.arange(lag_max + 1)
     ek = csum[:, lags_all + win] - csum[:, lags_all]  # (T, L+1)
     e0 = csum[:, win][:, None] - csum[:, 0][:, None]
-    denom = jnp.sqrt(jnp.maximum(e0 * ek, 1e-12))
+    denom = jnp.sqrt((e0 + a_fact) * (ek + a_fact))
     nccf = corr / denom  # (T, L+1)
 
     # ---- candidate set: top-K NCCF local maxima inside the lag band
-    # (RAPT keeps up to 20 candidates per frame; K=8 covers real speech)
-    K = 8
+    # (RAPT keeps up to 20 candidates per frame)
+    K = n_cands
     band = (lags_all >= lag_min) & (lags_all <= lag_max)
     left = jnp.pad(nccf[:, :-1], ((0, 0), (1, 0)),
                    constant_values=-jnp.inf)
@@ -112,39 +133,41 @@ def track_f0(
     delta = jnp.clip(delta, -0.5, 0.5)
     clag = jnp.maximum(cidx.astype(jnp.float32) + delta, 1.0)
 
-    # voicing: strongest candidate above threshold and non-trivial energy
-    # (independent of the tracked lag, like the greedy pick's test)
-    peak = cvals[:, 0]
-    frame_rms = jnp.sqrt(e0[:, 0] / win)
-    sig_rms = jnp.sqrt(jnp.mean(x * x) + 1e-12)
-    voiced = (peak > nccf_thresh) & (frame_rms > 0.05 * sig_rms)
-
-    # ---- Viterbi over the K candidates (RAPT's DP, lax.scan form):
-    # local cost 1 - C*(1 - LAG_WT*lag/lag_max); voiced->voiced
-    # transition FREQ_WT*min(|d|, DOUBL_C + ||d| - ln2|) on the log-lag
-    # jump d, so octave flips pay a fixed penalty instead of winning on
-    # raw correlation. Continuity is only enforced across voiced frames.
-    lag_wt, freq_wt, doubl_c = 0.3, 0.02, 0.35
-    local = jnp.where(
+    # ---- RAPT's dynamic program (lax.scan form) over K+1 states per
+    # frame: states 0..K-1 = voiced candidates, state K = unvoiced.
+    #   voiced local cost:   1 - C*(1 - LAG_WT*lag/lag_max)
+    #   unvoiced local cost: VO_BIAS + max(C) (cheap when all C are weak)
+    #   V->V transition:     FREQ_WT*min(|d|, DOUBL_C + ||d| - ln2|) on
+    #                        the log-lag jump d (octave flips pay DOUBL_C)
+    #   V<->U transition:    TRANS_C (voicing-state changes are sticky)
+    #   U->U transition:     0
+    # Voicing falls out of the backtracked path — no hard NCCF threshold.
+    local_v = jnp.where(
         have, 1.0 - cvals * (1.0 - lag_wt * clag / lag_max), 1e3)
+    cmax = jnp.max(cvals, axis=1)
+    local_u = vo_bias + cmax  # (T,)
+    local = jnp.concatenate([local_v, local_u[:, None]], axis=1)  # (T,K+1)
     loglag = jnp.log(clag)
     ln2 = float(np.log(2.0))
 
     def vit_step(carry, inp):
-        prev_cost, prev_loglag, prev_voiced = carry
-        loc_t, ll_t, v_t = inp
+        prev_cost, prev_loglag = carry
+        loc_t, ll_t = inp
         d = jnp.abs(ll_t[:, None] - prev_loglag[None, :])  # (K, K)
-        tc = freq_wt * jnp.minimum(d, doubl_c + jnp.abs(d - ln2))
-        tc = tc * (prev_voiced & v_t).astype(tc.dtype)
+        tvv = freq_wt * jnp.minimum(d, doubl_c + jnp.abs(d - ln2))
+        # full (K+1, K+1) transition block
+        row_u = jnp.full((1, K), trans_c)           # V(prev) -> U(next)
+        col_u = jnp.full((K, 1), trans_c)           # U(prev) -> V(next)
+        tc = jnp.block([[tvv, col_u], [row_u, jnp.zeros((1, 1))]])
         tot = prev_cost[None, :] + tc
         bp = jnp.argmin(tot, axis=1)
         cost = loc_t + jnp.min(tot, axis=1)
         cost = cost - jnp.min(cost)  # keep costs bounded over long tracks
-        return (cost, ll_t, v_t), bp
+        return (cost, ll_t), bp
 
-    init = (local[0], loglag[0], voiced[0])
-    (last_cost, _, _), bps = jax.lax.scan(
-        vit_step, init, (local[1:], loglag[1:], voiced[1:]))
+    init = (local[0], loglag[0])
+    (last_cost, _), bps = jax.lax.scan(
+        vit_step, init, (local[1:], loglag[1:]))
 
     # backtrack: bps[t] maps the state at frame t+1 to its best
     # predecessor at frame t
@@ -154,7 +177,9 @@ def track_f0(
     end_state = jnp.argmin(last_cost)
     first_state, rev_states = jax.lax.scan(back_step, end_state, bps[::-1])
     states = jnp.concatenate([first_state[None], rev_states[::-1]])
-    lag_trk = jnp.take_along_axis(clag, states[:, None], axis=1)[:, 0]
+    voiced = states < K
+    vstate = jnp.minimum(states, K - 1)
+    lag_trk = jnp.take_along_axis(clag, vstate[:, None], axis=1)[:, 0]
 
     f0 = sr / jnp.maximum(lag_trk, 1.0)
     f0 = jnp.clip(f0, lo, hi)

@@ -8,13 +8,19 @@ framework's jittable tracker — run on the reference's own example
 speech (/root/reference/examples/female12.wav) through the reference's
 exact preprocessing chain.
 
-Measured on 2026-08-17 (the bounds below assert these with margin):
-  voicing agreement 0.862, common-voiced median |dHz| 2.26,
-  median quantized-bin distance 3/257, 77.7% of common-voiced frames
-  within 8 bins, octave-scale (ratio>1.5) disagreement 12.1%.
+Measured on 2026-08-19 after the round-3 tracker upgrade (full RAPT DP
+with an explicit unvoiced state; absolute a_fact floor; tuned weights —
+the bounds below assert these with margin):
+  female band (100-600): voicing agreement 0.921, common-voiced median
+    |dHz| 1.97, octave-scale (ratio>1.5) disagreement 6.4%;
+  male band (50-250, 1.6x-stretched clip): agreement 0.928, median
+    |dHz| 1.02, octave disagreement 9.7%.
 An independent harmonic-comb attribution of the octave-disagreement
-frames split them 21 golden / 27 ours / 10 ties — the disagreements are
-ambiguous frames, not a systematic tracker error.
+frames splits them roughly evenly between the two trackers (male band:
+ours 28 / golden 34 / tie 19) — ambiguous frames, not a systematic
+tracker error; the male test asserts that attribution directly, and
+bounds our comb-confirmed true octave errors at < 5% of common-voiced
+frames.
 """
 import numpy as np
 import pytest
@@ -82,7 +88,7 @@ def test_nccf_tracker_vs_rapt_golden_on_real_speech():
 
     # voicing decisions agree on the large majority of frames
     agreement = (vg == vo).mean()
-    assert agreement >= 0.80, agreement
+    assert agreement >= 0.90, agreement
 
     both = vg & vo
     assert both.sum() > 300  # the comparison is not vacuous
@@ -91,9 +97,9 @@ def test_nccf_tracker_vs_rapt_golden_on_real_speech():
     # ambiguous frames may disagree at octave scale (verified
     # independently to split evenly between the two trackers)
     err = np.abs(np.exp(lf_g[both]) - np.exp(lf_o[both]))
-    assert np.median(err) <= 5.0, np.median(err)
+    assert np.median(err) <= 4.0, np.median(err)
     octave = (np.exp(np.abs(lf_g[both] - lf_o[both])) > 1.5).mean()
-    assert octave <= 0.20, octave
+    assert octave <= 0.10, octave
 
     # the downstream encoding: speaker-normalized, 257-bin one-hot
     ng = np.asarray(speaker_normalize_f0(jnp.asarray(lf_g, jnp.float32),
@@ -105,3 +111,132 @@ def test_nccf_tracker_vs_rapt_golden_on_real_speech():
     bins = np.abs(qg[both].astype(int) - qo[both].astype(int))
     assert np.median(bins) <= 6, np.median(bins)
     assert (bins <= 8).mean() >= 0.70, (bins <= 8).mean()
+
+
+def _male_speech():
+    """Male-range real speech derived from the reference's own example:
+    resample_poly(8, 5) stretches female12.wav by 1.6x at a fixed sample
+    rate, scaling f0 by 0.625 (~150-300 Hz -> ~95-190 Hz) into the
+    reference's male band (extract_f0_func.py:52-56: lo=50, hi=250) —
+    real glottal excitation, not a synthetic tone."""
+    from scipy import signal
+
+    w, sr = _reference_preproc()
+    return signal.resample_poly(w, 8, 5), sr
+
+
+@pytest.mark.slow
+def test_nccf_tracker_vs_rapt_golden_male_band():
+    """Same quantified comparison on the male gender branch (lo=50,
+    hi=250): the 50-250 Hz band exercises long lags (64-320 samples)
+    and the octave ambiguity at the band's bottom edge."""
+    w, sr = _male_speech()
+    lf_g = rapt(w * 32768, sr, 256, 50, 250)
+    vg = lf_g > -1e9
+    lf_o, vo = f0_ops.track_f0(jnp.asarray(w, jnp.float32), sr=sr,
+                               hop=256, lo=50.0, hi=250.0)
+    lf_o, vo = np.asarray(lf_o), np.asarray(vo)
+    assert lf_g.shape == lf_o.shape
+
+    agreement = (vg == vo).mean()
+    assert agreement >= 0.90, agreement
+    both = vg & vo
+    assert both.sum() > 300
+    err = np.abs(np.exp(lf_g[both]) - np.exp(lf_o[both]))
+    assert np.median(err) <= 3.0, np.median(err)
+    octave = (np.exp(np.abs(lf_g[both] - lf_o[both])) > 1.5).mean()
+    assert octave <= 0.12, octave
+
+    # Attribute the octave disagreements with an 8-harmonic comb: on each
+    # disagreeing frame, whichever tracker's f0 aligns the comb with more
+    # spectral energy is "right". The attribution must stay a rough
+    # split (measured 2026-08-19: ours 28 / golden 34 / tie 19 of 81) —
+    # ambiguous frames, not a systematic error of ours — and our TRUE
+    # octave errors (comb clearly sides with the golden) must be < 5%
+    # of common-voiced frames (measured 4.9%).
+    octf = np.nonzero(both & (np.abs(lf_g - lf_o) > np.log(1.5)))[0]
+    win = 1024
+    ours_right = gold_right = 0
+    for t in octf:
+        s = t * 256
+        seg = w[max(0, s - win // 2):s + win // 2]
+        spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg)), 4096))
+        freqs = np.fft.rfftfreq(4096, 1 / sr)
+
+        def comb(f):
+            return sum(
+                spec[max(0, i - 2):i + 3].max()
+                for h in range(1, 9)
+                for i in [int(np.argmin(np.abs(freqs - h * f)))])
+
+        cg, co = comb(np.exp(lf_g[t])), comb(np.exp(lf_o[t]))
+        if co > 1.1 * cg:
+            ours_right += 1
+        elif cg > 1.1 * co:
+            gold_right += 1
+    assert ours_right >= 0.5 * gold_right, (ours_right, gold_right)
+    assert gold_right / max(both.sum(), 1) < 0.05, gold_right
+
+
+@pytest.mark.slow
+def test_autovc_mel_delta_golden_vs_ours():
+    """END effect of the f0 substitution: run the SAME AutoVC generator
+    (shared random weights, the real architecture) on female12 mel
+    features conditioned on (a) the RAPT-golden 257-bin f0 one-hot and
+    (b) ours. Two controls calibrate the delta: (c) shuffled golden f0
+    (same marginal distribution, destroyed alignment — an upper
+    anchor), and (d) the golden uniformly shifted +5 bins (~2% of the
+    speaker's normalized pitch range — the magnitude of our median
+    per-frame disagreement, applied systematically). Ours must sit at
+    the shift-control's level, well below the shuffle control. A
+    random-weight model treats the one-hot as a random projection (no
+    bin-adjacency smoothness a trained model would have), so matching
+    the equivalent-magnitude control is the right bar, not a small
+    fraction of the shuffle delta.
+    Measured 2026-08-19: ours 0.0369, shift5 0.0347, shuffled 0.0493."""
+    import jax
+
+    from animateportrait_tpu.models.autovc import AutoVCGenerator
+
+    w, sr = _reference_preproc()
+    n = 2048 * 256  # first ~32 s cap -> 2049 frames max; female12 shorter
+    w = w[:n]
+    lf_g = rapt(w * 32768, sr, 256, 100, 600)
+    vg = lf_g > -1e9
+    lf_o, vo = f0_ops.track_f0(jnp.asarray(w, jnp.float32), sr=sr,
+                               hop=256, lo=100.0, hi=600.0)
+    lf_o, vo = np.asarray(lf_o), np.asarray(vo)
+
+    def onehot(lf, v):
+        nrm = np.asarray(speaker_normalize_f0(
+            jnp.asarray(lf, jnp.float32), jnp.asarray(v)))
+        return np.asarray(quantize_f0_onehot(jnp.asarray(nrm)))
+
+    oh_g, oh_o = onehot(lf_g, vg), onehot(lf_o, vo)
+    rng = np.random.default_rng(0)
+    oh_s = oh_g[rng.permutation(len(oh_g))]  # control: shuffled golden
+    ag = oh_g.argmax(-1)  # control: +5-bin uniform shift on voiced frames
+    oh_b = np.eye(257, dtype=np.float32)[
+        np.where(ag > 0, np.minimum(ag + 5, 256), 0)]
+
+    T = (len(oh_g) // 32) * 32
+    mel = rng.uniform(0, 1, (1, T, 80)).astype(np.float32)
+    model = AutoVCGenerator()
+    key = jax.random.PRNGKey(0)
+    emb = np.zeros((1, 256), np.float32)
+    params = model.init(key, jnp.asarray(mel), jnp.asarray(emb),
+                        jnp.asarray(emb), jnp.zeros((1, T, 257)))
+
+    def run(oh):
+        return np.asarray(model.apply(
+            params, jnp.asarray(mel), jnp.asarray(emb), jnp.asarray(emb),
+            jnp.asarray(oh[None, :T].astype(np.float32)))[1])
+
+    out_g = run(oh_g)
+    d_ours = np.abs(run(oh_o) - out_g).mean()
+    d_shuf = np.abs(run(oh_s) - out_g).mean()
+    d_bin = np.abs(run(oh_b) - out_g).mean()
+    # our f0 perturbs the output like an equivalent-magnitude uniform
+    # pitch offset would, and clearly less than a misaligned track
+    assert d_ours < 1.25 * d_bin, (d_ours, d_bin)
+    assert d_ours < 0.80 * d_shuf, (d_ours, d_shuf)
