@@ -110,6 +110,7 @@ def sample_bilinear_multi(
     img: jax.Array,
     coords: list[tuple[jax.Array, jax.Array]],
     padding_mode: str = "zeros",
+    feature_dtype=None,
 ) -> list[jax.Array]:
     """Bilinearly sample ``img`` at several coordinate fields at once.
 
@@ -118,10 +119,24 @@ def sample_bilinear_multi(
     generator's ``double_feature_warping`` (networks.py:1296-1313) warps
     the same features by both the TPS motion grid and the intrinsic flow,
     so sharing the aug halves its HBM traffic.
+
+    ``feature_dtype``: optional storage dtype for the gathered FEATURES
+    (e.g. bfloat16 to halve the gather operand's HBM bytes — the warp is
+    gather-bandwidth-bound, see PERF.md). Index math and the bilinear
+    lerp stay in the coordinate/compute dtype; only the feature values
+    are rounded once (bf16 keeps ~8 relative bits). The output is cast
+    back to ``img.dtype``. Defaults to AP_GATHER_DTYPE env or the image
+    dtype (no rounding).
     """
     import os
 
     N, H, W, C = img.shape
+    out_dtype = img.dtype
+    if feature_dtype is None:
+        env = os.environ.get("AP_GATHER_DTYPE", "")
+        feature_dtype = jnp.dtype(env) if env else img.dtype
+    feature_dtype = jnp.dtype(feature_dtype)
+    img = img.astype(feature_dtype)
     pad_kw = ({"mode": "edge"} if padding_mode == "border"
               else {"mode": "constant"})
     p = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)), **pad_kw)
@@ -137,8 +152,8 @@ def sample_bilinear_multi(
         y0 = jnp.floor(iy)
         x0 = jnp.floor(ix)
         pre.append((y0.astype(jnp.int32), x0.astype(jnp.int32),
-                    (iy - y0)[..., None].astype(img.dtype),
-                    (ix - x0)[..., None].astype(img.dtype)))
+                    (iy - y0)[..., None].astype(out_dtype),
+                    (ix - x0)[..., None].astype(out_dtype)))
 
     outs: list[list[jax.Array]] = [[] for _ in coords]
     for c0 in range(0, N, chunk):
@@ -159,6 +174,9 @@ def sample_bilinear_multi(
             flat_idx = (idx + base).reshape(-1)
             v = jnp.take(aug, flat_idx, axis=0,
                          mode="clip").reshape(*idx.shape, 4 * C)
+            # lerp in the ORIGINAL dtype: only the stored features were
+            # rounded, the interpolation math is not
+            v = v.astype(out_dtype)
             v00, v01 = v[..., :C], v[..., C:2 * C]
             v10, v11 = v[..., 2 * C:3 * C], v[..., 3 * C:]
 
@@ -168,7 +186,7 @@ def sample_bilinear_multi(
                 def inb(yc, xc):
                     m = ((yc >= 0) & (yc <= H - 1)
                          & (xc >= 0) & (xc <= W - 1))
-                    return m[..., None].astype(img.dtype)
+                    return m[..., None].astype(out_dtype)
 
                 v00 = v00 * inb(y0i, x0i)
                 v01 = v01 * inb(y0i, x0i + 1)
