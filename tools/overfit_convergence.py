@@ -9,7 +9,7 @@ Adams + in-state image pool) — for a few hundred steps at reduced
 resolution, interrupting once mid-run and resuming with
 ``--continue_train`` to exercise checkpoint resume.
 
-Afterwards it parses ``loss_log.jsonl`` and writes ``CONVERGENCE.md``
+Afterwards it parses ``metrics.jsonl`` and writes ``CONVERGENCE.md``
 with first-vs-last-window loss means, asserting the trainable losses
 (warp_B, geom_B, iden_B) actually trend down and the adversarial pair
 stays in the healthy lsgan band — i.e. the GAN *trains*, not just steps
@@ -105,8 +105,9 @@ def build_dataset(root, n_a=6, n_b=6, n_clip=6, size=300, seed=0):
         cv2.imwrite(path, arr)
 
     def lm_files(prefix, name, lm):
-        os.makedirs(f"{root}/{prefix}_txt/MTCNN", exist_ok=True)
-        with open(f"{root}/{prefix}_txt/MTCNN/{name}.txt", "w") as f:
+        txt = f"{root}/{prefix}_txt/MTCNN/{name}.txt"
+        os.makedirs(os.path.dirname(txt), exist_ok=True)
+        with open(txt, "w") as f:
             for (x, y) in lm:
                 print(x, y, file=f)
         dots = np.full((size, size), 255, np.uint8)
@@ -183,7 +184,7 @@ def run_training(root, ckpt_dir, crop, steps_phase1, steps_total,
 
 
 def summarize(ckpt_dir, out_md, window=8):
-    log = os.path.join(ckpt_dir, "overfit", "loss_log.jsonl")
+    log = os.path.join(ckpt_dir, "overfit", "metrics.jsonl")
     rows = [json.loads(line) for line in open(log)]
     keys = [k for k in rows[0] if k not in ("epoch", "iters")]
     first = {k: float(np.mean([r[k] for r in rows[:window]])) for k in keys}
@@ -194,7 +195,7 @@ def summarize(ckpt_dir, out_md, window=8):
         f"Full `train_cli` 5-discriminator step, {rows[-1]['iters']} steps"
         f" (resume exercised mid-run), reduced resolution.",
         "Loss means over the first vs last "
-        f"{window} log windows (`loss_log.jsonl`):",
+        f"{window} log windows (`metrics.jsonl`):",
         "",
         "| loss | first | last | delta |",
         "|---|---|---|---|",
