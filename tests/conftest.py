@@ -24,7 +24,11 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 # jax is imported — the cache only engages via jax.config.update (verified:
 # /tmp/jax_cache stayed empty for weeks with only the env var set).
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+# min_compile_time 0: cache EVERY executable, including the <1s per-op
+# programs that eager dispatch (flax Module.init and unjitted applies)
+# compiles by the hundreds — those dominate the fast tier on this 1-core
+# host (a 38s eager trident init becomes 3.6s with a warm entry cache).
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
