@@ -464,9 +464,9 @@ def _arm_watchdog():
                      "(device/tunnel unreachable or compile stuck)",
             # context, NOT a measurement: the most recent completed
             # on-hardware run of this metric (see PERF.md for the ledger)
-            "last_measured": {"value": 74.0, "date": "2026-08-17",
-                              "note": "same metric, v5e chip; predates "
-                                      "later kernel commits"},
+            "last_measured": {"value": 156.366, "date": "2026-08-19",
+                              "note": "same metric, v5e chip "
+                                      "(tools/measure_sweep_r3.jsonl)"},
         }), flush=True)
         os._exit(3)
 
@@ -498,9 +498,9 @@ def _probe_device(budget: float = 180.0) -> bool:
             "vs_baseline": None,
             "error": f"device probe failed ({type(e).__name__}): "
                      "jax.devices() unreachable — remote tunnel down",
-            "last_measured": {"value": 74.0, "date": "2026-08-17",
-                              "note": "same metric, v5e chip; predates "
-                                      "later kernel commits"},
+            "last_measured": {"value": 156.366, "date": "2026-08-19",
+                              "note": "same metric, v5e chip "
+                                      "(tools/measure_sweep_r3.jsonl)"},
         }), flush=True)
         return False
 
