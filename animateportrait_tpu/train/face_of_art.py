@@ -547,3 +547,110 @@ def build_foa_train_step(cfg: FOATrainConfig):
             opt=opt), losses
 
     return train_step
+
+
+# --------------------------------------------------------------------
+# NME eval + training driver
+# (deep_heatmaps_model_fusion_net.py:340-361,495-720;
+#  train_heatmaps_network.py)
+# --------------------------------------------------------------------
+
+def nme_norm_eyes(pred_yx: np.ndarray, gt_yx: np.ndarray) -> np.ndarray:
+    """Per-image mean landmark error normalized by the GT inter-pupil
+    distance (eye-center means of points 36-41 / 42-47;
+    deep_heatmaps_model_fusion_net.py:340-361)."""
+    pred = np.asarray(pred_yx, np.float64)
+    gt = np.asarray(gt_yx, np.float64)
+    err = np.mean(np.sqrt(np.sum((pred - gt) ** 2, axis=2)), axis=1)
+    p1 = gt[:, 42:48].mean(1)
+    p2 = gt[:, 36:42].mean(1)
+    eye_dist = np.sqrt(np.sum((p1 - p2) ** 2, axis=1))
+    return err / eye_dist
+
+
+def evaluate_foa(state: FOATrainState, cfg: FOATrainConfig,
+                 images: np.ndarray, lms_yx: np.ndarray,
+                 batch_size: int = 4) -> float:
+    """Mean NME of argmax-decoded upsampled heatmaps on a validation
+    set (the reference's valid_nme_loss, :384-385)."""
+    from animateportrait_tpu.models.face_of_art import (
+        ArtisticHeatmapNet, heatmaps_to_landmarks_yx)
+
+    model = ArtisticHeatmapNet(num_landmarks=cfg.num_landmarks)
+    apply_fn = jax.jit(
+        lambda p, x: heatmaps_to_landmarks_yx(
+            model.apply({"params": p}, x)[2]))
+    nmes = []
+    for s in range(0, len(images), batch_size):
+        batch = jnp.asarray(images[s:s + batch_size])
+        pred = np.asarray(apply_fn(state.params, batch))
+        nmes.append(nme_norm_eyes(pred, lms_yx[s:s + batch_size]))
+    return float(np.concatenate(nmes).mean())
+
+
+def train_foa(items, cfg: FOATrainConfig | None = None,
+              train_iter: int = 1000, batch_size: int = 4,
+              image_size: int = 256, sigma: float = 6.0,
+              img_dir_ns: str = "", p_texture: float = 0.0,
+              p_geom: float = 0.0, augment: bool = True,
+              valid_items=None, log_valid_every: int = 5,
+              print_every: int = 100, save_every: int = 20000,
+              checkpoint_dir: str | None = None, seed: int = 0,
+              state: FOATrainState | None = None,
+              log_fn=print) -> FOATrainState:
+    """The reference FOA training loop (train_heatmaps_network.py +
+    DeepHeatmapsModel.train :495-720): per-epoch reshuffle + augment,
+    staircase-lr step, periodic loss prints, NME validation every
+    ``log_valid_every`` epochs, periodic checkpoints. ``items`` is a
+    ``data/face_of_art.load_foa_image_list`` result (or any list of
+    objects with .image/.lms/.path)."""
+    from animateportrait_tpu.data.face_of_art import foa_epoch_batches
+
+    cfg = cfg or FOATrainConfig()
+    rng = np.random.default_rng(seed)
+    if state is None:
+        state = init_foa_state(cfg, jax.random.key(seed), size=image_size)
+    step_fn = build_foa_train_step(cfg)
+    mgr = None
+    if checkpoint_dir:
+        from animateportrait_tpu.io.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(checkpoint_dir)
+
+    step = int(state.step)
+    epoch = 0
+    try:
+        while step < train_iter:
+            for imgs, smalls, larges, _ in foa_epoch_batches(
+                    items, batch_size, rng, img_dir_ns=img_dir_ns,
+                    p_texture=p_texture, p_geom=p_geom, augment=augment,
+                    image_size=image_size, sigma=sigma):
+                state, losses = step_fn(
+                    state, jnp.asarray(imgs), jnp.asarray(smalls),
+                    jnp.asarray(larges))
+                step = int(state.step)
+                if print_every and step % print_every == 0:
+                    log_fn(
+                        f"epoch: [{epoch}] step: [{step}/{train_iter}] "
+                        f"primary: [{float(losses['l2_primary']):.6f}] "
+                        f"fusion: [{float(losses['l2_fusion']):.6f}] "
+                        f"upsample: [{float(losses['l2_upsample']):.6f}] "
+                        f"total: [{float(losses['total']):.6f}]")
+                if mgr is not None and save_every and \
+                        step % save_every == 0:
+                    mgr.save(step, state, force=True)
+                if step >= train_iter:
+                    break
+            epoch += 1
+            if valid_items and log_valid_every and \
+                    epoch % log_valid_every == 0:
+                vi = np.stack([v.image for v in valid_items])
+                vl = np.stack([v.lms for v in valid_items])
+                log_fn(f"epoch: [{epoch}] valid NME: "
+                       f"[{evaluate_foa(state, cfg, vi, vl):.6f}]")
+        if mgr is not None:
+            mgr.save(step, state, force=True)
+    finally:
+        if mgr is not None:
+            mgr.close()
+    return state

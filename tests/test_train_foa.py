@@ -157,3 +157,109 @@ def test_foa_train_step_descends():
     assert int(state.step) == 7
     for k in ("l2_primary", "l2_fusion", "l2_upsample"):
         assert np.isfinite(float(losses[k]))
+
+
+# ------------------------------------------------------------------
+# data loading (data/face_of_art.py) + training driver
+# ------------------------------------------------------------------
+
+def _write_foa_dir(tmp_path, n=3, size=100):
+    import cv2
+    rng = np.random.default_rng(7)
+    lms_all = []
+    for i in range(n):
+        img = (rng.uniform(0, 255, (size, size, 3))).astype(np.uint8)
+        cv2.imwrite(str(tmp_path / f"im{i}.png"), img)
+        lms = _face_lms(size)  # (y, x) 0-based
+        lms_all.append(lms)
+        with open(tmp_path / f"im{i}.pts", "w") as fp:
+            fp.write("version: 1\nn_points: 68\n{\n")
+            for y, x in lms:  # pts files are 1-based (x, y)
+                fp.write(f"{x + 1.0:.6f} {y + 1.0:.6f}\n")
+            fp.write("}\n")
+    return lms_all
+
+
+def test_load_pts_roundtrip(tmp_path):
+    from animateportrait_tpu.data.face_of_art import load_pts
+
+    lms = _write_foa_dir(tmp_path, n=1)[0]
+    got = load_pts(str(tmp_path / "im0.pts"))
+    np.testing.assert_allclose(got, lms, atol=1e-5)
+
+
+def test_center_margin_bb_square_margin():
+    from animateportrait_tpu.data.face_of_art import center_margin_bb
+
+    bb = np.array([[10.0, 20.0, 50.0, 40.0]])  # 40 x 20 box
+    out = center_margin_bb(bb, (200, 200), margin=0.25)
+    # max side 40 -> target 50; x grows by 5 each side, y by 15
+    np.testing.assert_allclose(out, [[5.0, 5.0, 55.0, 55.0]])
+    # clamping at image bounds
+    out2 = center_margin_bb(bb, (45, 52), margin=0.25)
+    assert out2[0, 2] <= 52 and out2[0, 3] <= 45
+
+
+def test_crop_to_face_image_carries_landmarks():
+    from animateportrait_tpu.data.face_of_art import crop_to_face_image
+
+    size = 100
+    lms = _face_lms(size)
+    img = np.zeros((size, size, 3), np.float32)
+    iy, ix = int(lms[30, 0]), int(lms[30, 1])
+    img[iy - 1:iy + 2, ix - 1:ix + 2] = 1.0
+    out, olms = crop_to_face_image(img, lms, image_size=64)
+    assert out.shape == (64, 64, 3) and olms.shape == (68, 2)
+    assert 0.0 <= out.min() and out.max() <= 1.0
+    peak = np.unravel_index(np.argmax(out.sum(-1)), out.shape[:2])
+    assert np.hypot(peak[0] - olms[30, 0], peak[1] - olms[30, 1]) < 3.0
+
+
+def test_load_foa_image_list_and_batches(tmp_path):
+    from animateportrait_tpu.data.face_of_art import (
+        foa_epoch_batches, load_foa_image_list)
+
+    _write_foa_dir(tmp_path, n=3)
+    items = load_foa_image_list(str(tmp_path), image_size=64)
+    assert len(items) == 3
+    assert items[0].image.shape == (64, 64, 3)
+    batches = list(foa_epoch_batches(
+        items, 2, np.random.default_rng(0), augment=True, image_size=64,
+        sigma=4.0))
+    assert len(batches) == 1  # floor(3/2), trailing item dropped
+    imgs, smalls, larges, lms = batches[0]
+    assert imgs.shape == (2, 64, 64, 3)
+    assert smalls.shape == (2, 16, 16, 68)
+    assert larges.shape == (2, 64, 64, 68)
+    assert lms.shape == (2, 68, 2)
+
+
+def test_nme_norm_eyes_manual():
+    from animateportrait_tpu.train.face_of_art import nme_norm_eyes
+
+    gt = _face_lms(256)[None]
+    pred = gt + 2.0  # uniform offset of 2*sqrt(2) px per landmark
+    eye = np.linalg.norm(gt[0, 42:48].mean(0) - gt[0, 36:42].mean(0))
+    got = nme_norm_eyes(pred, gt)
+    np.testing.assert_allclose(got, [2.0 * np.sqrt(2) / eye], rtol=1e-12)
+
+
+@pytest.mark.slow
+def test_train_foa_driver_runs_and_checkpoints(tmp_path):
+    from animateportrait_tpu.data.face_of_art import load_foa_image_list
+    from animateportrait_tpu.train.face_of_art import (
+        FOATrainConfig, train_foa)
+
+    _write_foa_dir(tmp_path, n=2)
+    items = load_foa_image_list(str(tmp_path), image_size=64)
+    logs = []
+    state = train_foa(
+        items, FOATrainConfig(lr=1e-4), train_iter=3, batch_size=2,
+        image_size=64, sigma=4.0, augment=False, valid_items=items,
+        log_valid_every=1, print_every=1, save_every=2,
+        checkpoint_dir=str(tmp_path / "ckpt"), log_fn=logs.append)
+    assert int(state.step) == 3
+    assert any("total:" in m for m in logs)
+    assert any("valid NME:" in m for m in logs)
+    import glob as g
+    assert g.glob(str(tmp_path / "ckpt" / "*"))
