@@ -238,7 +238,12 @@ def bench_train_step() -> float:
         make_example_batch)
 
     bs = int(os.environ.get("BENCH_TRAIN_BATCH", "4"))
-    cfg = Module2Config()  # full 256px, ngf/ndf 64 drawing config
+    # full 256px, ngf/ndf 64 drawing config; BENCH_BF16 switches the
+    # step's compute dtype (f32 master weights + f32 warp/IN guards kept
+    # by the trainer, train/module2.py compute_dtype)
+    cfg = Module2Config(
+        compute_dtype="bfloat16" if os.environ.get("BENCH_BF16")
+        else "float32")
     rng = jax.random.key(0)
     try:
         cpu = jax.local_devices(backend="cpu")[0]
