@@ -54,8 +54,7 @@ class ConvINReLU(nn.Module):
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=self.stride, padding=self.padding,
                     name="conv")(x)
-        x = InstanceNorm()(x)
-        return nn.relu(x) if self.relu else x
+        return InstanceNorm(relu=self.relu)(x)
 
 
 class StemConv7(nn.Module):
@@ -67,7 +66,7 @@ class StemConv7(nn.Module):
     def __call__(self, x):
         x = reflect_pad_2d(x, 3)
         x = nn.Conv(self.features, (7, 7), padding=0, name="conv")(x)
-        return nn.relu(InstanceNorm()(x))
+        return InstanceNorm(relu=True)(x)
 
 
 class ResnetBlock(nn.Module):
@@ -83,7 +82,7 @@ class ResnetBlock(nn.Module):
         y = _pad(x, pad, self.padding_type)
         y = nn.Conv(self.dim, (self.kernel, self.kernel), padding=0,
                     name="conv0")(y)
-        y = nn.relu(InstanceNorm()(y))
+        y = InstanceNorm(relu=True)(y)
         y = _pad(y, pad, self.padding_type)
         y = nn.Conv(self.dim, (self.kernel, self.kernel), padding=0,
                     name="conv1")(y)
@@ -101,7 +100,7 @@ class ResnetBlock2(nn.Module):
     def __call__(self, x):
         y = _pad(x, 1, self.padding_type)
         y = nn.Conv(self.dim_out, (3, 3), padding=0, name="conv0")(y)
-        y = nn.relu(InstanceNorm()(y))
+        y = InstanceNorm(relu=True)(y)
         y = _pad(y, 1, self.padding_type)
         y = nn.Conv(self.dim_out, (3, 3), padding=0, name="conv1")(y)
         y = InstanceNorm()(y)
@@ -118,7 +117,7 @@ class Upsample2x(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = ConvTranspose2dTorch(self.features, name="deconv")(x)
-        return nn.relu(InstanceNorm()(x))
+        return InstanceNorm(relu=True)(x)
 
 
 class OutConv7(nn.Module):

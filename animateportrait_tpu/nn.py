@@ -61,22 +61,30 @@ class InstanceNorm(nn.Module):
     eps: float = 1e-5
     affine: bool = False
     features: int | None = None
+    # fuse a following ReLU into the normalization kernel (parameter-free,
+    # so flipping it never changes the param tree)
+    relu: bool = False
 
     @nn.compact
     def __call__(self, x):
         # statistics in f32 regardless of compute dtype: bf16 mean/var
         # across 64k pixels loses ~3 decimal digits per layer and the
         # IN chains compound it (measured PSNR 17 dB vs fp32 with bf16
-        # stats on the composed render chain); the upcast is VPU-cheap
-        xs = x.astype(jnp.float32)
-        mean = jnp.mean(xs, axis=(1, 2), keepdims=True)
-        var = jnp.var(xs, axis=(1, 2), keepdims=True)
-        y = ((xs - mean) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
+        # stats on the composed render chain); the upcast is VPU-cheap.
+        # On TPU, eligible shapes route to the single-pass Pallas fused
+        # kernel (ops/pallas_instnorm.py) — one HBM read+write instead
+        # of XLA's reduce+normalize double read.
+        from animateportrait_tpu.ops.pallas_instnorm import instance_norm
+
+        fuse_relu = self.relu and not self.affine
+        y = instance_norm(x, eps=self.eps, relu=fuse_relu)
         if self.affine:
             feats = self.features or x.shape[-1]
             scale = self.param("scale", nn.initializers.ones, (feats,))
             bias = self.param("bias", nn.initializers.zeros, (feats,))
             y = y * scale + bias
+        if self.relu and not fuse_relu:
+            y = nn.relu(y)
         return y
 
 

@@ -1,0 +1,140 @@
+"""Pallas single-pass fused InstanceNorm (+ optional ReLU) for TPU.
+
+XLA lowers InstanceNorm as reduce(mean/var) + normalize — the input
+crosses HBM twice (plus one write), and a following ReLU adds another
+pass when it doesn't fuse. This kernel holds one (H, W, ctile) block in
+VMEM, computes the statistics, normalizes, and applies the ReLU in a
+single read + write.
+
+Measured on the v5e chip (tools/probe_instnorm.py, chained-dispatch
+timing): (8,64,64,256) 1.30x / 1.63x with ReLU; (8,64,64,512) 1.14x /
+1.42x — the generator's 64^2 ResNet-bottleneck chain is exactly this
+shape. Blocks that don't fit the 16 MB kernel VMEM stack (the 256^2 /
+128^2 stems: <=64 channels pad to 128 lanes, blowing the window to
+8-32 MB) fall back to the XLA formulation; `eligible()` is the guard.
+
+Differentiation: `pallas_call` has no autodiff rule, so the public
+entry is a `jax.custom_vjp` — forward through the kernel, backward
+through `jax.vjp` of the plain XLA formulation (mathematically the
+same function; forwards agree to ~1e-6 f32).
+
+MEASURED IN-GRAPH AND LOST (2026-08-19): generator forward 241.0 f/s
+with the kernel vs 257.3 without (same-day baseline). The standalone op
+win does not survive composition — the custom-call is a fusion barrier,
+and XLA was already folding the IN normalize into neighboring
+elementwise ops (residual adds, pads, conv epilogues), so the in-graph
+IN cost is well below the standalone microbench. The kernel therefore
+defaults OFF and remains available for isolated-IN workloads.
+
+Env: AP_PALLAS_IN=1 enables the kernel (default off — see above).
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+# padded VMEM block budget: ~4 temporaries of one block must fit the
+# 16 MB kernel stack -> keep a block under ~2 MB => H*W <= 4096 at a
+# 128-lane-padded channel tile
+_MAX_HW = 64 * 64
+
+
+def _xla_instance_norm(x, eps: float, relu: bool):
+    xs = x.astype(jnp.float32)
+    mean = jnp.mean(xs, axis=(1, 2), keepdims=True)
+    var = jnp.var(xs, axis=(1, 2), keepdims=True)
+    y = (xs - mean) * jax.lax.rsqrt(var + eps)
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    return y.astype(x.dtype)
+
+
+def _ctile(c: int) -> int | None:
+    if c <= 128:
+        return c
+    if c % 128 == 0:
+        return 128
+    return None
+
+
+def eligible(shape: tuple[int, ...]) -> bool:
+    """True when the fused kernel supports this NHWC shape."""
+    if os.environ.get("AP_PALLAS_IN", "0") != "1":
+        return False
+    if len(shape) != 4:
+        return False
+    n, h, w, c = shape
+    return h * w <= _MAX_HW and _ctile(c) is not None
+
+
+def on_tpu() -> bool:
+    """Process-level hint only (see ``instance_norm`` for the real
+    per-lowering dispatch)."""
+    try:
+        plat = jax.devices()[0].platform.lower()
+    except RuntimeError:
+        return False
+    return plat in ("tpu", "axon")
+
+
+def _kernel(x_ref, o_ref, *, eps: float, relu: bool):
+    x = x_ref[...].astype(jnp.float32)              # (1, H, W, ct)
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=(1, 2), keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "relu", "interpret"))
+def _pallas_forward(x, eps: float, relu: bool, interpret: bool = False):
+    from jax.experimental import pallas as pl
+
+    n, h, w, c = x.shape
+    ct = _ctile(c)
+    return pl.pallas_call(
+        functools.partial(_kernel, eps=eps, relu=relu),
+        grid=(n, c // ct),
+        in_specs=[pl.BlockSpec((1, h, w, ct), lambda i, j: (i, 0, 0, j))],
+        out_specs=pl.BlockSpec((1, h, w, ct), lambda i, j: (i, 0, 0, j)),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(x)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def instance_norm_fused(x, eps: float = 1e-5, relu: bool = False):
+    """Fused IN(+ReLU) via the Pallas kernel; grads via the XLA form."""
+    return _pallas_forward(x, eps, relu)
+
+
+def _fwd(x, eps, relu):
+    return _pallas_forward(x, eps, relu), x
+
+
+def _bwd(eps, relu, x, g):
+    _, vjp = jax.vjp(lambda v: _xla_instance_norm(v, eps, relu), x)
+    return (vjp(g)[0],)
+
+
+instance_norm_fused.defvjp(_fwd, _bwd)
+
+
+def instance_norm(x, eps: float = 1e-5, relu: bool = False):
+    """InstanceNorm(+ReLU) with f32 statistics: the Pallas fused kernel
+    for eligible shapes when lowering to TPU, the XLA formulation
+    otherwise. The dispatch is per LOWERING PLATFORM
+    (`lax.platform_dependent`), not per process — a program traced
+    under `jax.default_device(cpu)` in a TPU process (bench warmups,
+    host-side inits) must not embed an uncompilable TPU kernel."""
+    if not eligible(x.shape):
+        return _xla_instance_norm(x, eps, relu)
+    return jax.lax.platform_dependent(
+        x,
+        tpu=lambda v: instance_norm_fused(v, eps, relu),
+        default=lambda v: _xla_instance_norm(v, eps, relu),
+    )

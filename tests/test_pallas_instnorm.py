@@ -1,0 +1,84 @@
+"""Pallas fused InstanceNorm (ops/pallas_instnorm.py): interpret-mode
+parity with the XLA formulation, custom-vjp gradients, eligibility
+guard, and the InstanceNorm(relu=...) module refactor."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from animateportrait_tpu.ops.pallas_instnorm import (
+    _pallas_forward, _xla_instance_norm, eligible)
+
+
+def _x(shape=(2, 16, 16, 8), seed=0):
+    return jax.random.normal(jax.random.key(seed), shape, jnp.float32)
+
+
+@pytest.mark.parametrize("relu", [False, True])
+def test_kernel_matches_xla_formulation(relu):
+    x = _x()
+    ref = np.asarray(_xla_instance_norm(x, 1e-5, relu))
+    got = np.asarray(_pallas_forward(x, 1e-5, relu, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+    if relu:
+        assert got.min() >= 0.0
+
+
+def test_kernel_channel_tiling():
+    # c > 128 path tiles at 128 channels (interpret mode)
+    x = _x((1, 8, 8, 256))
+    ref = np.asarray(_xla_instance_norm(x, 1e-5, False))
+    got = np.asarray(_pallas_forward(x, 1e-5, False, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_custom_vjp_matches_xla_grad(monkeypatch):
+    # route the fused entry through interpret mode so the custom-vjp
+    # machinery itself is exercised on CPU
+    import animateportrait_tpu.ops.pallas_instnorm as m
+
+    monkeypatch.setattr(
+        m, "_pallas_forward",
+        lambda x, eps, relu, interpret=False:
+            m._xla_instance_norm(x, eps, relu))
+    x = _x()
+
+    def loss_fused(v):
+        return jnp.sum(jnp.square(m.instance_norm_fused(v, 1e-5, True)))
+
+    def loss_xla(v):
+        return jnp.sum(jnp.square(m._xla_instance_norm(v, 1e-5, True)))
+
+    g_fused = np.asarray(jax.grad(loss_fused)(x))
+    g_xla = np.asarray(jax.grad(loss_xla)(x))
+    np.testing.assert_allclose(g_fused, g_xla, atol=1e-5)
+
+
+def test_eligibility_guard(monkeypatch):
+    monkeypatch.setenv("AP_PALLAS_IN", "1")  # kernel is opt-in
+    assert eligible((8, 64, 64, 256))
+    assert eligible((8, 64, 64, 68))       # c <= 128: single tile
+    assert not eligible((8, 256, 256, 32))  # block exceeds VMEM stack
+    assert not eligible((8, 128, 128, 64))
+    assert not eligible((8, 64, 64, 192))   # c > 128, not a multiple
+    assert not eligible((8, 64, 64))        # not NHWC
+
+
+def test_eligibility_default_off():
+    # measured in-graph loss (fusion barrier) -> opt-in by default
+    assert not eligible((8, 64, 64, 256))
+
+
+def test_instance_norm_module_relu_refactor():
+    """InstanceNorm(relu=True) == relu(InstanceNorm()(x)) on the CPU
+    (XLA) path, and the param tree is unchanged (no params)."""
+    from animateportrait_tpu.nn import InstanceNorm
+    import flax.linen as fnn
+
+    x = _x((2, 8, 8, 4))
+    a = InstanceNorm(relu=True).apply({}, x)
+    b = fnn.relu(InstanceNorm().apply({}, x))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    variables = InstanceNorm(relu=True).init(jax.random.key(0), x)
+    assert variables == {}
