@@ -358,13 +358,11 @@ class UMLVDIFWDataset:
         # here; the dense grid evaluation runs inside the jitted train
         # step (ops.tps.linear_motion_grid) with EXACT griddata-linear
         # semantics.
-        from animateportrait_tpu.ops.tps import (
-            delaunay_simplices, ref_edge_anchors_yx)
-        anch = ref_edge_anchors_yx(cs)
-        item["tri_motion"] = delaunay_simplices(
-            np.concatenate([item["tB_lm_68"][:, ::-1], anch], 0))
-        item["tri_motion2"] = delaunay_simplices(
-            np.concatenate([item["tB2_lm_68"][:, ::-1], anch], 0))
+        from animateportrait_tpu.ops.tps import triangulate_frames
+        item["tri_motion"] = triangulate_frames(
+            item["tB_lm_68"][None], cs)[0]
+        item["tri_motion2"] = triangulate_frames(
+            item["tB2_lm_68"][None], cs)[0]
         return item
 
     def batch(self, indices, rng: np.random.Generator,

@@ -442,9 +442,11 @@ def clm_correct_reference(heatmaps: np.ndarray, lms_init_yx: np.ndarray,
         targets = np.empty_like(cur)
         for i in range(cur.shape[0]):
             resp = np.maximum(patches[i, 0], 0.0)
-            # patch row r sits at image coordinate round(cur) + r - r_off
-            ys = np.around(cur[i, 0]) + grid - r_off
-            xs = np.around(cur[i, 1]) + grid - r_off
+            # get_patches_around_landmarks cuts the patch centered at
+            # round(pt + 1) (the ECT "+1", pdm_clm_functions.py:76-77),
+            # so patch row r sits at image row round(cur) + 1 + r - r_off
+            ys = np.around(cur[i, 0]) + 1 + grid - r_off
+            xs = np.around(cur[i, 1]) + 1 + grid - r_off
             ky = np.exp(-0.5 * (ys - cur[i, 0]) ** 2 / kcov)
             kx = np.exp(-0.5 * (xs - cur[i, 1]) ** 2 / kcov)
             kern = resp * ky[:, None] * kx[None, :]

@@ -70,16 +70,6 @@ def eligible(shape: tuple[int, ...]) -> bool:
     return h * w <= _MAX_HW and _ctile(c) is not None
 
 
-def on_tpu() -> bool:
-    """Process-level hint only (see ``instance_norm`` for the real
-    per-lowering dispatch)."""
-    try:
-        plat = jax.devices()[0].platform.lower()
-    except RuntimeError:
-        return False
-    return plat in ("tpu", "axon")
-
-
 def _kernel(x_ref, o_ref, *, eps: float, relu: bool):
     x = x_ref[...].astype(jnp.float32)              # (1, H, W, ct)
     mean = jnp.mean(x, axis=(1, 2), keepdims=True)

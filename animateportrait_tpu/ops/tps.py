@@ -272,6 +272,17 @@ def delaunay_simplices(dest_yx: np.ndarray, pad_to: int = 160
     return np.concatenate([tri, pad], 0).astype(np.int32)
 
 
+def triangulate_frames(lm_xy: np.ndarray, size: int) -> np.ndarray:
+    """Per-frame Delaunay simplices of [landmarks (y, x); the 8 border
+    anchors] — the control-point order :func:`linear_motion_grid`
+    expects. ``lm_xy``: (T, 68, 2) in (x, y); returns (T, pad_to, 3)."""
+    lm_xy = np.asarray(lm_xy)
+    anch = ref_edge_anchors_yx(size)
+    return np.stack([
+        delaunay_simplices(np.concatenate([f[:, ::-1], anch], 0))
+        for f in lm_xy])
+
+
 @functools.partial(jax.jit, static_argnames=("size",))
 def linear_motion_grid(lm_src: jax.Array, lm_dst: jax.Array,
                        simplices: jax.Array, size: int = 256) -> jax.Array:
@@ -350,10 +361,15 @@ def linear_motion_grid(lm_src: jax.Array, lm_dst: jax.Array,
                  + l2[..., None] * s2[:, None])          # (T, hw, 2)
             return jnp.einsum("th,thj->hj", onehot, v, precision=hi)
 
-        # chunk pixel rows to bound the (T, hw) intermediates
+        # chunk pixel rows to bound the (T, hw) intermediates; pad to a
+        # multiple so odd sizes (e.g. crop_size 129) still reshape
         n_chunks = max(1, size // 64)
-        out = jax.lax.map(rows, pix.reshape(n_chunks, -1, 2))
-        return out.reshape(size, size, 2)
+        total = size * size
+        per = -(-total // n_chunks)
+        p = jnp.pad(pix, ((0, n_chunks * per - total), (0, 0)))
+        out = jax.lax.map(rows, p.reshape(n_chunks, per, 2))
+        return out.reshape(n_chunks * per, 2)[:total].reshape(
+            size, size, 2)
 
     mapped = jax.vmap(one)(src, dst, simplices)
     grid = jnp.stack([mapped[..., 1], mapped[..., 0]], -1)  # (x, y)

@@ -423,13 +423,8 @@ class Module2Renderer:
             # exact-parity grids: triangulate each frame's dest control
             # points on the host (~100 us per 76-point frame) and hand
             # the simplices to the jitted barycentric evaluation
-            from animateportrait_tpu.ops.tps import (
-                delaunay_simplices, ref_edge_anchors_yx)
-            anch = ref_edge_anchors_yx(cs)
-            tris_p = np.stack([
-                delaunay_simplices(
-                    np.concatenate([f[:, ::-1], anch], 0))
-                for f in tb68_p])
+            from animateportrait_tpu.ops.tps import triangulate_frames
+            tris_p = triangulate_frames(tb68_p, cs)
         for j in range(0, tb68_p.shape[0], fb):
             lm_batch = jnp.asarray(tb68_p[j: j + fb], jnp.float32)
             mo_batch = None if mo_p is None else jnp.asarray(
@@ -497,13 +492,9 @@ class Module2Renderer:
         mo = None if motions is None else jnp.asarray(motions, jnp.float32)
         tri = None
         if mo is None and self.motion_mode == "linear":
-            from animateportrait_tpu.ops.tps import (
-                delaunay_simplices, ref_edge_anchors_yx)
-            anch = ref_edge_anchors_yx(self.crop_size)
-            tri = jnp.asarray(np.stack([
-                delaunay_simplices(
-                    np.concatenate([f[:, ::-1], anch], 0))
-                for f in np.asarray(tb_lm68s)]))
+            from animateportrait_tpu.ops.tps import triangulate_frames
+            tri = jnp.asarray(
+                triangulate_frames(np.asarray(tb_lm68s), self.crop_size))
         vis = self._frames_jit(self._frame_nets, g_cache, mask,
                                fake_static, a68, lm_batch, mo, tri,
                                return_all=True)

@@ -568,18 +568,25 @@ def nme_norm_eyes(pred_yx: np.ndarray, gt_yx: np.ndarray) -> np.ndarray:
     return err / eye_dist
 
 
+@functools.lru_cache(maxsize=4)
+def _foa_eval_fn(num_landmarks: int, model):
+    """One jitted eval forward per network config — a fresh jit(lambda)
+    per evaluate_foa call would re-trace/compile the whole net at every
+    validation pass."""
+    from animateportrait_tpu.models.face_of_art import (
+        heatmaps_to_landmarks_yx)
+
+    return jax.jit(lambda p, x: heatmaps_to_landmarks_yx(
+        model.apply({"params": p}, x)[2]))
+
+
 def evaluate_foa(state: FOATrainState, cfg: FOATrainConfig,
                  images: np.ndarray, lms_yx: np.ndarray,
                  batch_size: int = 4) -> float:
     """Mean NME of argmax-decoded upsampled heatmaps on a validation
     set (the reference's valid_nme_loss, :384-385)."""
-    from animateportrait_tpu.models.face_of_art import (
-        ArtisticHeatmapNet, heatmaps_to_landmarks_yx)
-
     model = ArtisticHeatmapNet(num_landmarks=cfg.num_landmarks)
-    apply_fn = jax.jit(
-        lambda p, x: heatmaps_to_landmarks_yx(
-            model.apply({"params": p}, x)[2]))
+    apply_fn = _foa_eval_fn(cfg.num_landmarks, model)
     nmes = []
     for s in range(0, len(images), batch_size):
         batch = jnp.asarray(images[s:s + batch_size])
@@ -606,6 +613,13 @@ def train_foa(items, cfg: FOATrainConfig | None = None,
     objects with .image/.lms/.path)."""
     from animateportrait_tpu.data.face_of_art import foa_epoch_batches
 
+    if len(items) < batch_size:
+        # foa_epoch_batches drops the incomplete tail batch, so an
+        # undersized item list would yield zero batches per epoch and
+        # the while loop below would spin forever without advancing
+        raise ValueError(
+            f"need at least batch_size={batch_size} items, got "
+            f"{len(items)}")
     cfg = cfg or FOATrainConfig()
     rng = np.random.default_rng(seed)
     if state is None:

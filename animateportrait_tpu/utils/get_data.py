@@ -48,27 +48,38 @@ class GetData:
                       if f.endswith(ARCHIVE_EXTS))
 
     @staticmethod
-    def _extract(archive: str, dest: str) -> None:
+    def _check_member(name: str, dest_real: str) -> None:
+        # refuse traversal outside dest: commonpath, not startswith —
+        # "../datasets_evil/x" under dest ".../datasets" passes a bare
+        # prefix check but escapes into a sibling directory
+        target = os.path.realpath(os.path.join(dest_real, name))
+        if os.path.commonpath([target, dest_real]) != dest_real:
+            raise ValueError(f"unsafe archive member {name!r}")
+
+    @classmethod
+    def _extract(cls, archive: str, dest: str) -> None:
+        dest_real = os.path.realpath(dest)
         if archive.endswith(".zip"):
             with ZipFile(archive) as zf:
                 for name in zf.namelist():
-                    # refuse traversal outside dest
-                    target = os.path.realpath(os.path.join(dest, name))
-                    if not target.startswith(os.path.realpath(dest)):
-                        raise ValueError(f"unsafe archive member {name!r}")
+                    cls._check_member(name, dest_real)
                 zf.extractall(dest)
         else:
             with tarfile.open(archive) as tf:
                 try:
                     tf.extractall(dest, filter="data")
                 except TypeError:  # py<3.12 without the filter kwarg
-                    for m in tf.getmembers():
-                        target = os.path.realpath(
-                            os.path.join(dest, m.name))
-                        if not target.startswith(os.path.realpath(dest)):
-                            raise ValueError(
-                                f"unsafe archive member {m.name!r}")
-                    tf.extractall(dest)
+                    members = tf.getmembers()
+                    for m in members:
+                        cls._check_member(m.name, dest_real)
+                        # a symlink member pointing outside dest could
+                        # redirect a later member's extraction
+                        if m.issym() or m.islnk():
+                            base = os.path.dirname(
+                                os.path.join(dest_real, m.name))
+                            cls._check_member(
+                                os.path.join(base, m.linkname), dest_real)
+                    tf.extractall(dest, members=members)
 
     def get(self, name: str | None = None,
             save_path: str = "./datasets") -> str:

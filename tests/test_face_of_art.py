@@ -319,3 +319,36 @@ def test_shipped_clm_model_and_tuning():
     err_in = np.linalg.norm(init - face256, axis=1).mean()
     err_out = np.linalg.norm(out - face256, axis=1).mean()
     assert err_out < 0.6 * err_in, (err_in, err_out)
+
+
+def test_clm_meanshift_unbiased_at_peaks():
+    """Landmarks initialized exactly at the heatmap peaks must stay
+    there: the mean-shift labels patch cells with the SAME image
+    coordinates get_patches_around_landmarks cut them at (the ECT '+1'
+    offset, pdm_clm_functions.py:76-77) — an off-by-one there drags
+    every iteration ~1 px up-left, which five iterations compound."""
+    import os
+
+    from animateportrait_tpu.io.menpo_pickle import load_reference_clm
+    from animateportrait_tpu.models.face_of_art import (
+        clm_correct_reference, pdm_correct_reference)
+
+    ref_dir = ("/root/reference/Module1/thirdparty/face_of_art/"
+               "pdm_clm_models/clm_models")
+    if not os.path.isdir(ref_dir):  # pragma: no cover
+        import pytest
+
+        pytest.skip("reference CLM models not mounted")
+    clm_pdm, opt = load_reference_clm(
+        os.path.join(ref_dir, "basic_all"), n_shape=30)
+    face = pdm_correct_reference(clm_pdm.stored_target, clm_pdm)
+    face256 = (face - face.mean(0)) * (80.0 / np.abs(
+        face - face.mean(0)).max()) + 128.0
+    face256 = pdm_correct_reference(face256, clm_pdm)
+    hm = np.zeros((256, 256, 68), np.float32)
+    yy, xx = np.mgrid[0:256, 0:256].astype(np.float32)
+    for i, (y, x) in enumerate(face256):
+        hm[:, :, i] = np.exp(-((yy - y) ** 2 + (xx - x) ** 2) / 18.0)
+    out = clm_correct_reference(hm, face256, clm_pdm, opt)
+    drift = np.linalg.norm(out - face256, axis=1).mean()
+    assert drift < 0.35, drift

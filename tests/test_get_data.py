@@ -57,3 +57,57 @@ def test_tar_traversal_rejected(tmp_path):
     with pytest.raises(Exception):
         gd.get("evil.tar", save_path=str(tmp_path / "out"))
     assert not (tmp_path / "evil_escape.txt").exists()
+
+
+def test_sibling_directory_escape_rejected(tmp_path):
+    """'../<dest-name>_evil/x' passes a bare realpath-prefix startswith
+    check but escapes into a sibling directory; the commonpath guard
+    must reject it (tar fallback path and zip path both)."""
+    from zipfile import ZipFile
+
+    arch_dir = tmp_path / "archives"
+    arch_dir.mkdir()
+    payload = tmp_path / "p.txt"
+    payload.write_text("x")
+    with tarfile.open(arch_dir / "sib.tar", "w") as tf:
+        tf.add(payload, arcname="../out_evil/p.txt")
+    with ZipFile(arch_dir / "sib.zip", "w") as zf:
+        zf.write(payload, arcname="../out_evil/p.txt")
+    gd = GetData(str(arch_dir), verbose=False)
+    for name in ("sib.tar", "sib.zip"):
+        with pytest.raises(Exception):
+            gd.get(name, save_path=str(tmp_path / "out"))
+    assert not (tmp_path / "out_evil").exists()
+
+
+def test_tar_symlink_escape_rejected(tmp_path):
+    """A symlink member pointing outside dest could redirect a later
+    member's extraction; the py<3.12 fallback validates link targets."""
+    arch_dir = tmp_path / "archives"
+    arch_dir.mkdir()
+    with tarfile.open(arch_dir / "link.tar", "w") as tf:
+        m = tarfile.TarInfo("escape")
+        m.type = tarfile.SYMTYPE
+        m.linkname = "../../outside"
+        tf.addfile(m)
+        payload = tarfile.TarInfo("escape/p.txt")
+        data = b"x"
+        payload.size = len(data)
+        import io
+        tf.addfile(payload, io.BytesIO(data))
+    gd = GetData(str(arch_dir), verbose=False)
+    try:
+        # force the manual-validation fallback even on py>=3.12
+        orig = tarfile.TarFile.extractall
+
+        def no_filter(self, path=".", members=None, **kw):
+            if "filter" in kw:
+                raise TypeError("no filter kwarg")
+            return orig(self, path=path, members=members)
+
+        tarfile.TarFile.extractall = no_filter
+        with pytest.raises(Exception):
+            gd.get("link.tar", save_path=str(tmp_path / "out"))
+    finally:
+        tarfile.TarFile.extractall = orig
+    assert not (tmp_path / "outside").exists()

@@ -244,3 +244,24 @@ def test_linear_motion_grid_matches_griddata_exactly(rng):
         jnp.asarray(tri2), size))
     np.testing.assert_allclose(both[0], both[1], atol=0)
     np.testing.assert_allclose(both[0], ours, atol=0)
+
+
+def test_linear_motion_grid_odd_size(rng):
+    """Odd crop sizes (e.g. --crop_size 129) must evaluate: the pixel
+    chunking pads to a multiple instead of requiring size*size to divide
+    by the chunk count. Identity landmarks -> the identity grid."""
+    from animateportrait_tpu.ops.tps import (
+        linear_motion_grid, triangulate_frames)
+
+    size = 129
+    lm = rng.uniform(20, size - 20, (68, 2))
+    tri = triangulate_frames(lm[None], size)
+    grid = np.asarray(linear_motion_grid(
+        jnp.asarray(lm[None], jnp.float32),
+        jnp.asarray(lm[None], jnp.float32),
+        jnp.asarray(tri), size))[0]
+    assert grid.shape == (size, size, 2)
+    half = (size - 1) / 2.0
+    gy, gx = np.mgrid[0:size, 0:size]
+    ident = np.stack([gx, gy], -1) / half - 1.0
+    assert np.abs(grid - ident).max() * half < 1e-3

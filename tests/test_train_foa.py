@@ -263,3 +263,13 @@ def test_train_foa_driver_runs_and_checkpoints(tmp_path):
     assert any("valid NME:" in m for m in logs)
     import glob as g
     assert g.glob(str(tmp_path / "ckpt" / "*"))
+
+
+def test_train_foa_rejects_undersized_item_list():
+    """items < batch_size would yield zero batches per epoch (the
+    incomplete tail is dropped) and the driver would spin forever; it
+    must raise up front instead."""
+    from animateportrait_tpu.train.face_of_art import train_foa
+
+    with pytest.raises(ValueError, match="batch_size"):
+        train_foa([object()] * 3, train_iter=10, batch_size=4)

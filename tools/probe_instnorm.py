@@ -24,50 +24,28 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Measure the SHIPPED kernel, not a local copy — the probe exists to
+# produce PERF.md numbers for what ops/pallas_instnorm.py dispatches.
+from animateportrait_tpu.ops.pallas_instnorm import (  # noqa: E402
+    _pallas_forward, _xla_instance_norm)
+
 EPS = 1e-5
 
 
 def xla_instnorm(x):
-    xs = x.astype(jnp.float32)
-    mean = jnp.mean(xs, axis=(1, 2), keepdims=True)
-    var = jnp.var(xs, axis=(1, 2), keepdims=True)
-    return ((xs - mean) * jax.lax.rsqrt(var + EPS)).astype(x.dtype)
+    return _xla_instance_norm(x, EPS, relu=False)
 
 
 def xla_instnorm_relu(x):
-    return jax.nn.relu(xla_instnorm(x))
+    return _xla_instance_norm(x, EPS, relu=True)
 
 
-def _in_kernel(x_ref, o_ref, *, relu: bool):
-    x = x_ref[...].astype(jnp.float32)              # (1, H, W, ct)
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=(1, 2), keepdims=True)
-    y = (x - mean) * jax.lax.rsqrt(var + EPS)
-    if relu:
-        y = jnp.maximum(y, 0.0)
-    o_ref[...] = y.astype(o_ref.dtype)
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("ctile", "relu", "interpret"))
-def pallas_instnorm(x, ctile: int = 128, relu: bool = False,
-                    interpret: bool = False):
-    from jax.experimental import pallas as pl
-
-    n, h, w, c = x.shape
-    ctile = min(ctile, c)
-    assert c % ctile == 0
-    grid = (n, c // ctile)
-    return pl.pallas_call(
-        functools.partial(_in_kernel, relu=relu),
-        grid=grid,
-        in_specs=[pl.BlockSpec((1, h, w, ctile),
-                               lambda i, j: (i, 0, 0, j))],
-        out_specs=pl.BlockSpec((1, h, w, ctile),
-                               lambda i, j: (i, 0, 0, j)),
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        interpret=interpret,
-    )(x)
+@functools.partial(jax.jit, static_argnames=("relu",))
+def pallas_instnorm(x, relu: bool = False):
+    # CPU backend only supports pallas in interpret mode (correctness
+    # smoke only — timings there are meaningless)
+    interpret = jax.devices()[0].platform == "cpu"
+    return _pallas_forward(x, EPS, relu, interpret=interpret)
 
 
 def _time(fn, x, iters=50, chain=20):
