@@ -11,6 +11,7 @@ AutoVC generator as jitted JAX, and f0 via the batched NCCF tracker in
 from __future__ import annotations
 
 import dataclasses
+import functools
 import wave
 
 import numpy as np
@@ -84,11 +85,42 @@ def normalize_dbfs(x: np.ndarray, target_dbfs: float = -20.0) -> np.ndarray:
     return np.round(y * 32768.0).clip(-32768, 32767) / 32768.0
 
 
-def extract_mel_and_f0(wav: np.ndarray, gender: str = "F",
-                       seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+@functools.lru_cache(maxsize=1)
+def _mel_fb_t_device() -> jax.Array:
+    fb = mel_filterbank(sr=SR, n_fft=N_FFT, n_mels=80, fmin=90.0,
+                        fmax=7600.0)
+    return jax.device_put(jnp.asarray(fb.T, jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("lo", "hi"))
+def _frontend_fused(w: jax.Array, mel_fb_t: jax.Array,
+                    lo: float, hi: float) -> jax.Array:
+    """STFT -> mel-S, f0 track + normalize + one-hot as ONE program.
+
+    Eagerly this chain is ~10 device dispatches; over the remote-TPU
+    tunnel each costs a ~25-30 ms round trip, making the audio stage
+    ~0.4 s of a 2.4 s end-to-end run. Fused = one upload, one dispatch,
+    one packed (T, 80+1+257) fetch."""
+    mag = stft_magnitude_best(w, n_fft=N_FFT, hop=HOP)
+    d_mel = mag @ mel_fb_t
+    min_level = np.exp(-100 / 20 * np.log(10))
+    d_db = 20.0 * jnp.log10(jnp.maximum(min_level, d_mel)) - 16.0
+    s = (d_db + 100.0) / 100.0
+    logf0, voiced = f0_ops.track_f0(w, sr=SR, hop=HOP, lo=lo, hi=hi)
+    f0_norm = speaker_normalize_f0(logf0, voiced)
+    T = min(s.shape[0], f0_norm.shape[0])          # static shapes
+    f0_oh = quantize_f0_onehot(f0_norm[:T])
+    return jnp.concatenate(
+        [s[:T].astype(jnp.float32), f0_norm[:T, None].astype(jnp.float32),
+         f0_oh], axis=1)
+
+
+def extract_frontend(wav: np.ndarray, gender: str = "F", seed: int = 0
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """extract_f0_func_audiofile (extract_f0_func.py:95-127): 5th-order
     30 Hz butter filtfilt, dither, 1024/256 STFT -> 80-bin mel (90-7600),
-    dB floor -100, S=(dB+100)/100; speaker-normalized log-f0."""
+    dB floor -100, S=(dB+100)/100; speaker-normalized log-f0 plus its
+    257-bin one-hot (utils.py:130-146). Returns (S, f0_norm, f0_onehot)."""
     from scipy import signal
 
     lo, hi = (50.0, 250.0) if gender == "M" else (100.0, 600.0)
@@ -100,20 +132,16 @@ def extract_mel_and_f0(wav: np.ndarray, gender: str = "F",
     prng = np.random.RandomState(seed)
     w = y * 0.95 + (prng.rand(y.shape[0]) - 0.5) * 1e-06
 
-    mel_fb = mel_filterbank(sr=SR, n_fft=N_FFT, n_mels=80, fmin=90.0,
-                            fmax=7600.0)
-    mag = stft_magnitude_best(jnp.asarray(w, jnp.float32), n_fft=N_FFT,
-                              hop=HOP)
-    d_mel = mag @ jnp.asarray(mel_fb.T)
-    min_level = np.exp(-100 / 20 * np.log(10))
-    d_db = 20.0 * jnp.log10(jnp.maximum(min_level, d_mel)) - 16.0
-    s = np.asarray((d_db + 100.0) / 100.0, np.float32)
+    packed = np.asarray(_frontend_fused(
+        jnp.asarray(w, jnp.float32), _mel_fb_t_device(), lo, hi))
+    return (packed[:, :80], packed[:, 80].copy(), packed[:, 81:])
 
-    logf0, voiced = f0_ops.track_f0(jnp.asarray(w, jnp.float32), sr=SR,
-                                    hop=HOP, lo=lo, hi=hi)
-    f0_norm = np.asarray(speaker_normalize_f0(logf0, voiced))
-    T = min(s.shape[0], f0_norm.shape[0])
-    return s[:T], f0_norm[:T]
+
+def extract_mel_and_f0(wav: np.ndarray, gender: str = "F",
+                       seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """(S, f0_norm) view of :func:`extract_frontend`."""
+    s, f0_norm, _ = extract_frontend(wav, gender, seed)
+    return s, f0_norm
 
 
 @dataclasses.dataclass
@@ -156,11 +184,9 @@ class AudioPipeline:
 
     def __call__(self, wav: np.ndarray, gender: str = "F") -> AudioFeatures:
         wav = normalize_dbfs(wav)
-        mel, f0_norm = extract_mel_and_f0(wav, gender)
+        mel, f0_norm, f0_oh = extract_frontend(wav, gender)
         emb = self.speaker_embedding(wav)
         emb_trg = assets.obama_speaker_emb().astype(np.float32)
-
-        f0_oh = np.asarray(quantize_f0_onehot(jnp.asarray(f0_norm)))
         outs = []
         T = mel.shape[0]
         for i in range(0, T, self.chunk):

@@ -22,7 +22,6 @@ from typing import Callable
 import numpy as np
 
 from animateportrait_tpu.ops import geometry
-from animateportrait_tpu.ops.filters import savgol_filter
 from animateportrait_tpu.pipeline.align import (
     detect_and_align, estimate_landmarks_from_5pt)
 from animateportrait_tpu.pipeline.audio import (
@@ -32,7 +31,6 @@ from animateportrait_tpu.pipeline.landmark import (
 from animateportrait_tpu.pipeline.render import Module2Renderer
 from animateportrait_tpu.utils import assets
 
-import jax.numpy as jnp
 
 FPS = 62.5  # 16000 Hz / 256-sample hop (main_end2end_module2.py:306,342)
 
@@ -182,10 +180,16 @@ class TalkingPortraitPipeline:
         w_face = min(15, (T - 1) // 2 * 2 + 1)
         w_lip = min(5, (T - 1) // 2 * 2 + 1)
         if w_face >= 5:
-            flat[:, : 48 * 3] = np.asarray(savgol_filter(
-                jnp.asarray(flat[:, : 48 * 3]), w_face, 3, axis=0))
-            flat[:, 48 * 3:] = np.asarray(savgol_filter(
-                jnp.asarray(flat[:, 48 * 3:]), w_lip, 3, axis=0))
+            # host scipy, not ops.filters: the (T, 204) array lives on
+            # the host here, and two device round trips through the
+            # tunnel cost more than the filter itself (reference uses
+            # scipy at this exact spot, main_end2end_module2.py:268-271)
+            from scipy.signal import savgol_filter as sp_savgol
+
+            flat[:, : 48 * 3] = sp_savgol(
+                flat[:, : 48 * 3], w_face, 3, axis=0)
+            flat[:, 48 * 3:] = sp_savgol(
+                flat[:, 48 * 3:], w_lip, 3, axis=0)
         fl = flat.reshape(-1, 68, 3)
 
         # render at 256: photo and landmarks scale by 256/512
