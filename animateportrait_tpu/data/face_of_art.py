@@ -93,10 +93,12 @@ def center_margin_bb(bb: np.ndarray, img_hw: tuple[int, int],
     size = [bb[0, 2] - bb[0, 0], bb[0, 3] - bb[0, 1]]
     margins = (np.max(size) * (1 + margin) - size) / 2
     out = np.zeros_like(bb)
+    # menpo clamps at img.bounds()[1] = (h-1, w-1), i.e. the last valid
+    # pixel index, not the shape
     out[0, 0] = max(bb[0, 0] - margins[0], 0)
-    out[0, 2] = min(bb[0, 2] + margins[0], img_hw[1])
+    out[0, 2] = min(bb[0, 2] + margins[0], img_hw[1] - 1)
     out[0, 1] = max(bb[0, 1] - margins[1], 0)
-    out[0, 3] = min(bb[0, 3] + margins[1], img_hw[0])
+    out[0, 3] = min(bb[0, 3] + margins[1], img_hw[0] - 1)
     return out
 
 
@@ -144,9 +146,12 @@ def crop_to_face_image(image: np.ndarray, lms_yx: np.ndarray | None,
         lms *= image_size / side
 
     if normalize:
-        lo, hi = float(img.min()), float(img.max())
-        if hi > lo:
-            img = (img - lo) / (hi - lo)  # menpo rescale_pixels(0, 1)
+        # menpo rescale_pixels(0, 1) defaults to per_channel=True: each
+        # RGB channel is min/max-rescaled independently
+        lo = img.min(axis=(0, 1), keepdims=True)
+        hi = img.max(axis=(0, 1), keepdims=True)
+        span = np.where(hi > lo, hi - lo, 1.0)
+        img = np.where(hi > lo, (img - lo) / span, img)
     return np.ascontiguousarray(img, np.float32), lms
 
 

@@ -86,10 +86,14 @@ def normalize_dbfs(x: np.ndarray, target_dbfs: float = -20.0) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=1)
-def _mel_fb_t_device() -> jax.Array:
+def _mel_fb_t_device() -> np.ndarray:
+    """Host-side cached filterbank. Deliberately NOT device-committed:
+    a device_put here would pin every downstream jit to whatever device
+    was default at first call (e.g. a CPU warmup would pin the TPU
+    pipeline to CPU). jit handles placement per call site."""
     fb = mel_filterbank(sr=SR, n_fft=N_FFT, n_mels=80, fmin=90.0,
                         fmax=7600.0)
-    return jax.device_put(jnp.asarray(fb.T, jnp.float32))
+    return np.ascontiguousarray(fb.T, np.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("lo", "hi"))

@@ -441,7 +441,7 @@ def augment_foa_item(image: np.ndarray, lms_yx: np.ndarray,
                                              "win_mult"))
 def approx_gaussian_heatmaps(lms_yx: jax.Array, size: int,
                              sigma: float = 6.0,
-                             win_mult: float = 3.5) -> jax.Array:
+                             win_mult: float = 3.33335) -> jax.Array:
     """(..., 68, 2) int-cast landmarks -> (..., size, size, 68) windowed
     gaussians, amplitude (8/3)*sigma ("same as in ECT"). Dense masked
     evaluation — exactly the reference's clipped patch paste
@@ -460,7 +460,7 @@ def approx_gaussian_heatmaps(lms_yx: jax.Array, size: int,
 
 
 def make_foa_targets(lms_yx: np.ndarray, image_size: int = 256,
-                     sigma: float = 6.0, win_mult: float = 3.5
+                     sigma: float = 6.0, win_mult: float = 3.33335
                      ) -> tuple[np.ndarray, np.ndarray]:
     """(GT maps_small (S/4, S/4, 68), maps (S, S, 68)) for one item —
     the small maps use landmarks/4 and sigma/4

@@ -85,7 +85,7 @@ def test_approx_heatmaps_match_reference_paste():
     """Dense masked evaluation == the reference's clipped patch paste
     (data_loading_functions.py:67-112), incl. edge clipping."""
     size, sigma = 32, 2.0
-    win = int(3.5 * sigma)
+    win = int(3.33335 * sigma)  # reference win_mult (flags + model init)
     lms = np.array([[5.7, 3.2], [0.0, 0.0], [31.0, 31.0], [16.0, 2.0]],
                    np.float64)
 
