@@ -72,6 +72,12 @@ class Module2Config:
     # activations live across the ~16 discriminator passes — the HBM
     # lever for larger per-chip batches (grads are bit-identical).
     remat: bool = False
+    # fold each discriminator's separate real/fake/fake2 forwards into
+    # ONE pass with the inputs stacked along batch (15 PatchGAN passes
+    # -> 5). Mathematically identical (convs and InstanceNorm are
+    # per-sample); larger per-conv batches utilize the MXU better at
+    # small N. Default False pending the perf measurement (PERF.md).
+    batch_d_passes: bool = False
     steps_per_epoch: int = 1000
     pool_size: int = 50
     gan_mode: str = "lsgan"
@@ -485,12 +491,25 @@ def build_train_step(cfg: Module2Config):
                        + (fb / 2 + 0.5) * (1 - shared["mask2"])) * 2 - 1
         return fake_B, fake_B2
 
+    def d_apply_stacked(dparams, xs, reals):
+        """One D pass over len(xs) inputs stacked along batch
+        (batch_d_passes), or len(xs) separate passes. Returns the list
+        of per-input GAN losses — identical math either way (the D is
+        per-sample: convs + InstanceNorm)."""
+        if cfg.batch_d_passes and len(xs) > 1:
+            n = xs[0].shape[0]
+            p = d_apply(dparams, jnp.concatenate(xs, axis=0))
+            return [crit(p[i * n:(i + 1) * n], r)
+                    for i, r in enumerate(reals)]
+        return [crit(d_apply(dparams, x), r) for x, r in zip(xs, reals)]
+
     def g_loss_fn(g_params, d_params, batch, shared, frozen):
         fake_B, fake_B2 = g_forward(g_params, batch, shared)
         cs = float(cfg.crop_size)
         losses = {}
-        loss = crit(d_apply(d_params["d_a"], fake_B), True)
-        loss += crit(d_apply(d_params["d_a"], fake_B2), True)
+        la, la2 = d_apply_stacked(d_params["d_a"], [fake_B, fake_B2],
+                                  [True, True])
+        loss = la + la2
         losses["G_A"] = loss
 
         locals_ = []
@@ -503,9 +522,9 @@ def build_train_step(cfg: Module2Config):
         for dname, m1, m2 in locals_:
             fl = masked(fake_B, batch[m1], cfg.mask_type)
             f2 = masked(fake_B2, batch[m2], cfg.mask_type)
-            l_local = (crit(d_apply(d_params[dname], fl), True)
-                       + crit(d_apply(d_params[dname], f2), True)
-                       ) * cfg.lambda_g_a_l
+            l1_, l2_ = d_apply_stacked(d_params[dname], [fl, f2],
+                                       [True, True])
+            l_local = (l1_ + l2_) * cfg.lambda_g_a_l
             losses[f"G_{dname}"] = l_local
             loss += l_local
 
@@ -596,11 +615,12 @@ def build_train_step(cfg: Module2Config):
         losses = {}
 
         def basic3(dname, real, f1, f2):
-            lr_ = crit(d_apply(d_params[dname], real), True)
-            lf1 = crit(d_apply(d_params[dname], f1), False)
-            lf2 = crit(d_apply(d_params[dname], f2), False)
             if cfg.check_fakeb2_in_backward_d:
+                lr_, lf1, lf2 = d_apply_stacked(
+                    d_params[dname], [real, f1, f2], [True, False, False])
                 return (lr_ + (lf1 + lf2) / 2.0) / 2.0
+            lr_, lf1 = d_apply_stacked(
+                d_params[dname], [real, f1], [True, False])
             return (lr_ + lf1) * 0.5
 
         l = basic3("d_a", batch["real_B"], fake_B, fake_B2)
@@ -625,27 +645,34 @@ def build_train_step(cfg: Module2Config):
             real_pair = jnp.concatenate(
                 [batch["B1_img"], batch["B2_img"]], axis=-1)
             fake_pair = jnp.concatenate([pooled_B, pooled_B2], axis=-1)
-            lr_ = crit(d_apply(d_params["d_a_coh"], real_pair), True)
-            lf = crit(d_apply(d_params["d_a_coh"], fake_pair), False)
             if cfg.coh_use_more:
                 extra_pair = jnp.concatenate(
                     [batch["B3"], batch["B4"]], axis=-1)
-                lf2 = crit(d_apply(d_params["d_a_coh"], extra_pair), False)
+                lr_, lf, lf2 = d_apply_stacked(
+                    d_params["d_a_coh"], [real_pair, fake_pair,
+                                          extra_pair],
+                    [True, False, False])
                 l = (lr_ + lf + lf2) / 3.0
             else:
+                lr_, lf = d_apply_stacked(
+                    d_params["d_a_coh"], [real_pair, fake_pair],
+                    [True, False])
                 l = (lr_ + lf) * 0.5
             losses["D_A_coh"] = l
             loss += l
         return loss, losses
 
-    def train_step(state: TrainState, batch, frozen: FrozenNets, rng):
+    def compute_grads(state: TrainState, batch, frozen: FrozenNets, rng):
+        """The G-then-D gradient pass shared by train_step; exposed (as
+        ``train_step.grads_fn``) so sharding-equivalence tests can compare
+        raw gradients across device layouts, where tolerances are
+        meaningful, before Adam's sign-normalization amplifies
+        reduction-order noise on near-zero-gradient elements."""
         shared = forward_shared(batch, frozen)
 
         (_, (fake_B, fake_B2, g_losses)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(
             state.g_params, state.d_params, batch, shared, frozen)
-        g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
-        g_params = optax.apply_updates(state.g_params, g_updates)
 
         fake_B = jax.lax.stop_gradient(fake_B)
         fake_B2 = jax.lax.stop_gradient(fake_B2)
@@ -657,10 +684,17 @@ def build_train_step(cfg: Module2Config):
         (_, d_losses), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True)(
             state.d_params, batch, fake_B, fake_B2, pooled_B, pooled_B2)
+        metrics = {**g_losses, **d_losses}
+        return g_grads, d_grads, pool, count, metrics
+
+    def train_step(state: TrainState, batch, frozen: FrozenNets, rng):
+        g_grads, d_grads, pool, count, metrics = compute_grads(
+            state, batch, frozen, rng)
+        g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
         d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
         d_params = optax.apply_updates(state.d_params, d_updates)
 
-        metrics = {**g_losses, **d_losses}
         new_state = state.replace(
             step=state.step + 1, g_params=g_params, d_params=d_params,
             g_opt=g_opt, d_opt=d_opt, pool=pool, pool_count=count)
@@ -695,6 +729,7 @@ def build_train_step(cfg: Module2Config):
         return visuals, aux
 
     train_step.visuals_fn = visuals_fn
+    train_step.grads_fn = compute_grads
     return train_step
 
 

@@ -84,6 +84,181 @@ def test_train_step_dp_sharding():
     assert leaf.sharding.is_fully_replicated
 
 
+def _single_device_baseline(state, batch, frozen, step):
+    """Run grads + step entirely on one device: the equivalence baseline."""
+    dev = jax.devices()[0]
+    put = lambda t: jax.tree_util.tree_map(  # noqa: E731
+        lambda x: jax.device_put(x, dev), t)
+    state, batch, frozen = put(state), put(batch), put(frozen)
+    gg, dg, pool, count, _ = jax.jit(step.grads_fn)(
+        state, batch, frozen, jax.random.key(1))
+    s1, m1 = jax.jit(step)(state, batch, frozen, jax.random.key(1))
+    return (jax.device_get((gg, dg, pool)), int(count),
+            jax.device_get(s1), {k: float(v) for k, v in m1.items()})
+
+
+def _global_scale(tree):
+    return max((float(np.abs(np.asarray(x)).max())
+                for x in jax.tree_util.tree_leaves(tree)), default=0.0)
+
+
+def _assert_grads_equal(g_dp, g_ref, what):
+    """Gradients across device layouts must agree to the measured
+    cross-layout float noise.
+
+    Measured on this suite's virtual-CPU mesh (2026-08-19): pure
+    reduction-order noise (batch permutation on one device) is <5e-6 of
+    the global gradient scale, but changing the per-conv batch size
+    (8 on one device vs 1 per shard) changes XLA's conv kernels, whose
+    ~1e-6-relative output drift the deep InstanceNorm'd chain amplifies
+    to <=2.3e-4 of scale at the gradients. Losses still match at 1e-4.
+    The tight bound below is 4x that measured layout floor — far below
+    any semantic error (a wrong psum/mean is >=2x). A bounded handful of
+    elements (<=1% per leaf, measured 3/72 worst case) may exceed it:
+    the loss routes gradients through dynamic-crop gathers
+    (extract_landmarks windows) whose floor() indices can flip when a
+    forward activation drifts across an integer boundary — a genuine
+    discontinuity of the loss, not a sharding bug; those are held to a
+    loose 5e-2-of-scale bound instead."""
+    flat_dp = jax.tree_util.tree_leaves(g_dp)
+    flat_ref = jax.tree_util.tree_leaves(g_ref)
+    assert len(flat_dp) == len(flat_ref)
+    gscale = max(_global_scale(g_ref), 1e-12)
+    for x, y in zip(flat_dp, flat_ref):
+        x, y = np.asarray(x, np.float64), np.asarray(y, np.float64)
+        d = np.abs(x - y)
+        loose = d <= 5e-2 * gscale
+        assert loose.all(), (
+            f"{what}: {int((~loose).sum())} elements beyond the loose "
+            f"bound, max diff {d.max():.3g} vs scale {gscale:.3g}")
+        tight = d <= (1e-3 * gscale + 2e-2 * np.abs(y))
+        n_viol = int((~tight).sum())
+        allowed = max(4, int(0.01 * y.size))
+        assert n_viol <= allowed, (
+            f"{what}: {n_viol}/{y.size} elements beyond the tight bound "
+            f"(allowed {allowed}), max diff {d.max():.3g}")
+
+
+def _assert_updates_equal(s_dp, s_ref, s0, g_ref, lr, what):
+    """Adam updates must match wherever the gradient is decisive.
+
+    Adam's first-step update is ~lr*sign(g); elements with |g| below the
+    cross-layout noise floor can legitimately flip sign, so they are
+    excluded — but they must still be bounded by the Adam step size, and
+    decisive elements must match tightly."""
+    new_dp = jax.tree_util.tree_leaves(s_dp)
+    new_ref = jax.tree_util.tree_leaves(s_ref)
+    old = jax.tree_util.tree_leaves(s0)
+    grads = jax.tree_util.tree_leaves(g_ref)
+    gscale = max(_global_scale(g_ref), 1e-12)
+    n_checked = 0
+    for xd, xr, x0, g in zip(new_dp, new_ref, old, grads):
+        d_dp = np.asarray(xd, np.float64) - np.asarray(x0, np.float64)
+        d_ref = np.asarray(xr, np.float64) - np.asarray(x0, np.float64)
+        g = np.asarray(g, np.float64)
+        # every update bounded by the Adam step size in both layouts
+        assert np.abs(d_dp).max() <= 1.5 * lr, what
+        # decisive = far above the measured cross-layout gradient noise
+        # (2.3e-4 of scale, see _assert_grads_equal) so sign & the Adam
+        # normalization factor are layout-stable
+        decisive = np.abs(g) > 5e-2 * gscale
+        if decisive.any():
+            np.testing.assert_allclose(
+                d_dp[decisive], d_ref[decisive], rtol=2e-2,
+                atol=2e-2 * lr, err_msg=what)
+            n_checked += int(decisive.sum())
+    assert n_checked > 0, f"no decisive elements checked for {what}"
+
+
+def _check_dp_equivalence(cfg, state, batch, frozen, step,
+                          state_dp, batch_dp, frozen_dp, out_shardings):
+    (gg_ref, dg_ref, pool_ref), count_ref, s_ref, m_ref = \
+        _single_device_baseline(state, batch, frozen, step)
+
+    gg_dp, dg_dp, pool_dp, count_dp, m_grads = jax.jit(step.grads_fn)(
+        state_dp, batch_dp, frozen_dp, jax.random.key(1))
+    if out_shardings is None:
+        jstep = jax.jit(step)
+    else:
+        jstep = jax.jit(step, out_shardings=(out_shardings, None))
+    s_dp, m_dp = jstep(state_dp, batch_dp, frozen_dp, jax.random.key(1))
+
+    # 1. every loss identical across layouts
+    assert set(m_dp) == set(m_ref)
+    for k in m_ref:
+        np.testing.assert_allclose(float(m_dp[k]), m_ref[k], rtol=1e-4,
+                                   atol=1e-5, err_msg=f"metric {k}")
+    # 2. raw G and D gradients identical to the measured layout noise
+    _assert_grads_equal(gg_dp, gg_ref, "g_grads")
+    _assert_grads_equal(dg_dp, dg_ref, "d_grads")
+    # 3. Adam-updated params identical wherever the gradient is decisive
+    _assert_updates_equal(s_dp.g_params, s_ref.g_params, state.g_params,
+                          gg_ref, cfg.lr, "g_params update")
+    _assert_updates_equal(s_dp.d_params, s_ref.d_params, state.d_params,
+                          dg_ref, cfg.lr, "d_params update")
+    # 4. pool contents follow the same RNG stream in both layouts
+    # (contents are fake images in [-1,1]; tolerance = layout noise)
+    np.testing.assert_allclose(np.asarray(pool_dp), np.asarray(pool_ref),
+                               rtol=1e-3, atol=1e-4, err_msg="pool")
+    assert int(count_dp) == count_ref
+    assert int(s_dp.pool_count) == int(s_ref.pool_count)
+
+
+@pytest.mark.slow
+def test_train_step_dp_equals_single_device():
+    """The 8-device DP train step must compute the SAME update as the
+    single-device step on the same batch/state/RNG — DP is a layout
+    choice, not a numerics choice (ref semantics it must replicate:
+    geomgm_ifw_fore_model.py:782-819 runs on one device). Losses, raw
+    gradients, pool state, and Adam updates (on decisive-gradient
+    elements) are all asserted equal; tolerances absorb cross-device
+    reduction-order float drift only."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = _small_cfg()
+    state, batch, frozen, step = _setup(cfg, batch_size=8)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    batch_sharding = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    batch_dp = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, batch_sharding), batch)
+    state_dp = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, repl), state)
+    frozen_dp = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, repl), frozen)
+    _check_dp_equivalence(cfg, state, batch, frozen, step,
+                          state_dp, batch_dp, frozen_dp, None)
+
+
+@pytest.mark.slow
+def test_train_step_dp_fsdp_equals_single_device():
+    """DP batch + FSDP parameter sharding: same-update guarantee as the
+    pure-DP test — FSDP only changes where parameter shards live."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from animateportrait_tpu.train.module2 import (
+        shard_state_fsdp, state_shardings)
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = _small_cfg()
+    state, batch, frozen, step = _setup(cfg, batch_size=8)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    batch_sharding = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    batch_dp = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, batch_sharding), batch)
+    state_dp = shard_state_fsdp(state, mesh, min_size=2 ** 10)
+    frozen_dp = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, repl), frozen)
+    _check_dp_equivalence(cfg, state, batch, frozen, step,
+                          state_dp, batch_dp, frozen_dp,
+                          state_shardings(state_dp))
+
+
 @pytest.mark.slow
 def test_train_step_dp_fsdp_sharding():
     """DP batch sharding + FSDP parameter sharding over the 8-device mesh."""
@@ -324,6 +499,34 @@ def test_init_weights_modes(init_type):
         m = k.reshape(-1, 128).T  # (O, rest)
         gram = m @ m.T / 0.02 ** 2
         np.testing.assert_allclose(gram, np.eye(128), atol=1e-4)
+
+
+@pytest.mark.slow
+def test_batch_d_passes_matches_separate():
+    """batch_d_passes=True (15 PatchGAN passes folded into 5 stacked
+    ones) must be a pure scheduling change: the D is per-sample, so
+    losses and updated params match the separate-pass step."""
+    import dataclasses
+
+    cfg = _small_cfg()
+    state, batch, frozen, step = _setup(cfg, batch_size=2)
+    _, _, _, step_b = _setup(
+        dataclasses.replace(cfg, batch_d_passes=True), batch_size=2)
+    gg1, dg1, pool1, c1, m1 = jax.jit(step.grads_fn)(
+        state, batch, frozen, jax.random.key(1))
+    gg2, dg2, pool2, c2, m2 = jax.jit(step_b.grads_fn)(
+        state, batch, frozen, jax.random.key(1))
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=1e-5,
+                                   err_msg=k)
+    # raw gradients match to conv-batching float noise (Adam would
+    # amplify the near-zero-gradient tail to full-lr sign flips, so the
+    # comparison is pre-optimizer — same rationale as the DP tests)
+    _assert_grads_equal(gg2, gg1, "g_grads (batch_d_passes)")
+    _assert_grads_equal(dg2, dg1, "d_grads (batch_d_passes)")
+    np.testing.assert_allclose(np.asarray(pool2), np.asarray(pool1),
+                               rtol=1e-4, atol=1e-5)
+    assert int(c1) == int(c2)
 
 
 @pytest.mark.slow
