@@ -81,6 +81,17 @@ def build_argparser() -> argparse.ArgumentParser:
                         "'tps' = fully-on-device polyharmonic spline "
                         "(no host in the loop, sub-px mean deviation)")
     p.add_argument("--seed", type=int, default=0)
+    # net-width knobs (debug/test; the reference architecture fixes these
+    # at 64/16/64/32 — smaller values give fast random-init smoke runs,
+    # e.g. the cli.main() end-to-end test)
+    p.add_argument("--ngf", type=int, default=64,
+                   help="trident generator width (reference: 64)")
+    p.add_argument("--flow_nf", type=int, default=16,
+                   help="intrinsic-flow Unet width (reference: 16)")
+    p.add_argument("--static_ngf", type=int, default=64,
+                   help="static drawing net width (reference: 64)")
+    p.add_argument("--cartoon_ngf", type=int, default=32,
+                   help="photo2cartoon generator width (reference: 32)")
     # Module1 model/trainer hyperparameters, accepted like the reference
     # driver (main_end2end_module2.py:147-158). The inference engine
     # hardcodes the shipped architecture exactly as the reference does
@@ -221,10 +232,14 @@ def build_pipeline(args):
                                   emb_coef=args.emb_coef)
 
     cs = 256
+    flow_net = FlowUnet(nf=args.flow_nf)
+    static_net = ResnetStyle2Generator(ngf=args.static_ngf)
+    cartoon_net = Photo2CartoonGenerator(ngf=args.cartoon_ngf)
     gen_v = _load_or_init(
         os.path.join(cd, args.exp, f"{args.epoch}_net_G_A.pth"),
         lambda sd: load_trident_full_ifw_params(sd),
-        lambda: TridentGeneratorFullIFW(output_nc=nc, div=3, disp=3).init(
+        lambda: TridentGeneratorFullIFW(
+            output_nc=nc, ngf=args.ngf, div=3, disp=3).init(
             key, jnp.zeros((1, cs, cs, 3)), jnp.zeros((1, cs, cs, 1)),
             jnp.zeros((1, cs, cs, 1)), jnp.zeros((1, cs, cs, 2)),
             jnp.zeros((1, cs, cs, 2)), jnp.zeros((1, cs, cs, 1))),
@@ -232,7 +247,7 @@ def build_pipeline(args):
     flow_v = _load_or_init(
         os.path.join(cd, "FlowReg_id_flow_faces", "best_net_netF.pth"),
         load_flowunet_params,
-        lambda: FlowUnet().init(key, jnp.zeros((1, 224, 224, 136))),
+        lambda: flow_net.init(key, jnp.zeros((1, 224, 224, 136))),
         "flow regressor")
     modnet_v = _load_or_init(
         os.path.join(cd, "modnet_photographic_portrait_matting.ckpt"),
@@ -243,14 +258,14 @@ def build_pipeline(args):
     if style == "drawing":
         static_v = _load_or_init(
             os.path.join(cd, "static", "drawing.pth"), load_style2_params,
-            lambda: ResnetStyle2Generator().init(
+            lambda: static_net.init(
                 key, jnp.zeros((1, 512, 512, 3)),
                 jnp.zeros((1, 128, 128, 3))), "static drawing net")
     else:
         cartoon_v = _load_or_init(
             os.path.join(cd, "static", "cartoon.pt"),
             load_photo2cartoon_params,
-            lambda: Photo2CartoonGenerator().init(
+            lambda: cartoon_net.init(
                 key, jnp.zeros((1, cs, cs, 3))), "photo2cartoon",
             unwrap="genA2B")
 
@@ -258,7 +273,9 @@ def build_pipeline(args):
         RendererVariables(generator=gen_v, flowunet=flow_v,
                           modnet=modnet_v, static_drawing=static_v,
                           photo2cartoon=cartoon_v),
-        style=style, output_nc=nc, frame_batch=args.frame_batch,
+        style=style, output_nc=nc, ngf=args.ngf,
+        frame_batch=args.frame_batch,
+        flowunet=flow_net, static_g=static_net, cartoon_g=cartoon_net,
         output_uint8=True, data_parallel=args.render_dp,
         use_bf16=args.render_bf16,
         motion_mode=getattr(args, "warp_mode", "linear"))

@@ -7,8 +7,12 @@ umlvdfw_test_dataset.py`) with an in-memory, frame-batched pipeline:
 - landmark images are rasterized with cv2 exactly like the reference's
   ``draw2`` (dots / dots+edges / colored polygons);
 - the per-frame scipy-griddata warp grid (the reference's dominant CPU
-  cost) is replaced by the batched on-device TPS
-  (`ops.tps.motion_grid_from_landmarks`);
+  cost) is computed by a host Delaunay + batched on-device barycentric
+  evaluation that reproduces griddata-linear EXACTLY
+  (`ops.tps.linear_motion_grid`, the default ``motion_mode="linear"``);
+  the fully-on-device polyharmonic-spline substitution
+  (`ops.tps.motion_grid_from_landmarks`) remains as opt-in
+  ``motion_mode="tps"`` — no host in the loop, sub-px mean deviation;
 - MODNet matting + static stylization run ONCE for the source photo;
 - per frame the jitted step computes intrinsic flow, the trident generator
   forward, and fg/bg matte blending, batched over frames.
