@@ -537,7 +537,17 @@ def main():
     fps, n_frames = bench_e2e()
     base = bench_torch_cpu_e2e()
     vs = (fps / base) if base else None
-    print(json.dumps({
+    # BASELINE.md names TWO driver-measurable metrics: inference
+    # frames/sec AND Module2 train steps/sec — record both in the one
+    # artifact (BENCH_NO_TRAIN=1 opts out, e.g. for quick local runs).
+    train_sps = None
+    train_err = None
+    if not os.environ.get("BENCH_NO_TRAIN"):
+        try:
+            train_sps = round(bench_train_step(), 4)
+        except Exception as e:  # noqa: BLE001 - report, don't lose e2e
+            train_err = f"{type(e).__name__}: {e}"
+    out = {
         "metric": "e2e_pipeline_frames_per_sec_256px",
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
@@ -549,7 +559,13 @@ def main():
         # over the whole clip. Baseline griddata is method='linear' per
         # the reference dataset (umlvdfw_test_dataset.py:74), 10 frames.
         "baseline_excludes": "once-per-photo detection/alignment",
-    }))
+        # second BASELINE metric: full 5-discriminator GAN train step,
+        # shipped 256px ngf/ndf=64 config, batch BENCH_TRAIN_BATCH (4)
+        "train_steps_per_sec": train_sps,
+    }
+    if train_err:
+        out["train_error"] = train_err
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -21,6 +21,25 @@ ours 28 / golden 34 / tie 19) — ambiguous frames, not a systematic
 tracker error; the male test asserts that attribution directly, and
 bounds our comb-confirmed true octave errors at < 5% of common-voiced
 frames.
+
+Why the raw male-band cross-tracker disagreement stays ~9-10% (round-4
+investigation, 2026-08-19): a 24-point grid over the DP weights
+(freq_wt 0.1-0.3 x doubl_c 0.35-0.7 x lag_wt 0.2-0.3) moves it only
+9.72% -> 9.08%, and only by trading away voicing agreement
+(0.928 -> 0.916); n_cands 12->20 changes nothing (the right candidate
+is already in the set), and longer NCCF frames (320-480) make every
+metric worse. The disagreement is therefore not a transition-weight
+deficit of our tracker: it is the two trackers each independently
+resolving genuinely bistable frames — band-edge frames near 2x lo
+where BOTH f and f/2 lie in-band and the NCCF scores near-ties (RAPT's
+own published behavior in this regime). The decisive evidence is the
+known-ground-truth test below
+(test_true_octave_errors_on_resynthesized_male): on a male-register
+clip whose f0 is known by construction, OUR true octave-error rate is
+3.4% and the GOLDEN's own is 2.3% — individually both trackers are
+fine; their mutual disagreement (~9%) double-counts each tracker's
+independent coin-flips on ambiguous frames (3.4% + 2.3% + ambiguity
+overlap), which no DP tuning can reconcile.
 """
 import numpy as np
 import pytest
@@ -176,6 +195,66 @@ def test_nccf_tracker_vs_rapt_golden_male_band():
             gold_right += 1
     assert ours_right >= 0.5 * gold_right, (ours_right, gold_right)
     assert gold_right / max(both.sum(), 1) < 0.05, gold_right
+
+
+def _resynth_male(sr=16000):
+    """Male-register speech with KNOWN f0: female12's golden track,
+    halved (~75-150 Hz, squarely in the reference male band 50-250),
+    drives a 6-harmonic source shaped by the original's RMS envelope —
+    glottal-like excitation whose per-frame ground truth we constructed."""
+    w, _ = _reference_preproc()
+    lf = rapt(w * 32768, sr, 256, 100, 600)
+    v = lf > -1e9
+    hz = np.where(v, np.exp(np.where(v, lf, 0.0)) * 0.5, 0.0)
+    n = min(len(hz) * 256, len(w))
+    f_s = np.repeat(hz, 256)[:n]
+    env = np.sqrt(np.convolve(w[:n] ** 2, np.ones(512) / 512, "same"))
+    ph = 2 * np.pi * np.cumsum(f_s) / sr
+    x = np.zeros(n)
+    for h, a in [(1, 1.0), (2, 0.6), (3, 0.4), (4, 0.25), (5, 0.15),
+                 (6, 0.1)]:
+        x += a * np.sin(h * ph)
+    x *= (f_s > 0) * env * 3.0
+    x += 0.001 * np.random.RandomState(0).standard_normal(n)
+    return x, hz  # (samples, per-frame GT Hz; 0 = unvoiced)
+
+
+@pytest.mark.slow
+def test_true_octave_errors_on_resynthesized_male():
+    """TRUE accuracy (vs construction ground truth, not vs the golden)
+    on the second male-band clip construction: our tracker's octave
+    errors must be < 5% of GT-voiced frames it marks voiced (measured
+    2026-08-19: ours 3.4%, the RAPT golden's own 2.3% — the mutual
+    ~9% disagreement in the stretched-clip test double-counts each
+    tracker's independent ambiguous-frame flips)."""
+    x, gt_hz = _resynth_male()
+    sr = 16000
+    lf_o, vo = f0_ops.track_f0(jnp.asarray(x, jnp.float32), sr=sr,
+                               hop=256, lo=50.0, hi=250.0)
+    lf_o, vo = np.asarray(lf_o), np.asarray(vo)
+    T = min(len(gt_hz), len(lf_o))
+    gt, lf_o, vo = gt_hz[:T], lf_o[:T], vo[:T]
+    vt = gt > 0
+
+    agreement = (vt == vo).mean()
+    assert agreement >= 0.90, agreement
+    both = vt & vo
+    assert both.sum() > 300
+    ratio = np.exp(np.abs(lf_o[both] - np.log(gt[both])))
+    true_oct = (ratio > 1.5).mean()
+    assert true_oct < 0.05, true_oct
+    med = np.median(np.abs(np.exp(lf_o[both]) - gt[both]))
+    assert med <= 2.0, med
+
+    # calibration: the golden itself makes octave errors of the same
+    # order on this clip — the mutual-disagreement metric above is
+    # tracker ambiguity, not our tracker's deficit
+    lf_g = rapt(x * 32768, sr, 256, 50, 250)
+    vg = lf_g > -1e9
+    bg = vt[:len(lf_g)] & vg[:T]
+    gold_oct = (np.exp(np.abs(lf_g[:T][bg] - np.log(gt[bg]))) > 1.5).mean()
+    assert gold_oct > 0.01, gold_oct  # golden is NOT oracle-perfect here
+    assert true_oct < gold_oct + 0.03, (true_oct, gold_oct)
 
 
 @pytest.mark.slow
