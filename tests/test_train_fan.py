@@ -44,7 +44,9 @@ def test_make_targets_and_train_step_descends():
     imgs = jnp.asarray(
         np.random.default_rng(1).uniform(0, 1, (2, 64, 64, 3)),
         jnp.float32)
-    # 64-input FAN -> 16x16 heatmaps; build matching targets
+    # 64-input FAN -> 16x16 heatmaps; make_fan_targets expects IMAGE
+    # pixel coords (it divides by the stride 4 itself), so scale the
+    # 256-space landmarks to the 64-px image first
     gt16, w16 = make_fan_targets(lm / 4.0, hm_size=16)
     gtb = jnp.tile(jnp.asarray(gt16)[None], (2, 1, 1, 1))
     wb = jnp.tile(jnp.asarray(w16)[None], (2, 1, 1, 1))

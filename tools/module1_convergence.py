@@ -299,21 +299,22 @@ def run_fan(steps: int, size: int = 64) -> tuple[float, float]:
     imgs = np.stack(imgs)
     lms = np.stack(lms)
 
+    # fan_nme / make_fan_targets take (x, y) image-pixel coords
+    # (make_fan_targets divides by the stride 4 itself); lms above are
+    # (y, x) for _render_face
+    lms_xy = lms[:, :, ::-1].copy()
     cfg = FANTrainConfig(num_modules=1, num_landmarks=68, lr=1e-3)
     state, tx = init_fan_state(cfg, jax.random.key(0), size=size)
-    nme0 = evaluate_fan(state.variables, imgs, lms, cfg)
+    nme0 = evaluate_fan(state.variables, imgs, lms_xy, cfg)
     step = build_fan_train_step(cfg, tx)
-    # 64-px FAN emits heatmaps at size/4; targets in heatmap space
-    hm = size // 4
-    gt = np.stack([make_fan_targets(lm * (hm / size), hm_size=hm)[0]
-                   for lm in lms])
-    w = np.stack([make_fan_targets(lm * (hm / size), hm_size=hm)[1]
-                  for lm in lms])
+    hm = size // 4  # the FAN emits heatmaps at size/4
+    gt = np.stack([make_fan_targets(lm, hm_size=hm)[0] for lm in lms_xy])
+    w = np.stack([make_fan_targets(lm, hm_size=hm)[1] for lm in lms_xy])
     xb = jnp.asarray(imgs)
     gtb, wb = jnp.asarray(gt), jnp.asarray(w)
     for i in range(steps):
         state, loss = step(state, xb, gtb, wb)
-    nme1 = evaluate_fan(state.variables, imgs, lms, cfg)
+    nme1 = evaluate_fan(state.variables, imgs, lms_xy, cfg)
     return nme0, nme1
 
 
