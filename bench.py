@@ -243,7 +243,10 @@ def bench_train_step() -> float:
     # by the trainer, train/module2.py compute_dtype)
     cfg = Module2Config(
         compute_dtype="bfloat16" if os.environ.get("BENCH_BF16")
-        else "float32")
+        else "float32",
+        # stacked D passes win at batch>=2 (+3.3% at batch 4, PERF.md),
+        # mirroring train_cli's auto-selection
+        batch_d_passes=bs >= 2)
     rng = jax.random.key(0)
     try:
         cpu = jax.local_devices(backend="cpu")[0]
