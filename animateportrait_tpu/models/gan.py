@@ -20,6 +20,8 @@ align_corners=True at :1297-1306).
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
@@ -27,8 +29,9 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from animateportrait_tpu.nn import (
-    ConvTranspose2dTorch, InstanceNorm, interpolate_bilinear,
-    reflect_pad_2d, replicate_pad_2d)
+    Conv2dReflect, ConvTranspose2dTorch, InstanceNorm,
+    add_reflect_border_corrections, interpolate_bilinear, reflect_pad_2d,
+    replicate_pad_2d)
 from animateportrait_tpu.ops.warp import grid_sample, warp_acc_flow  # noqa: F401 (re-exported for callers)
 
 
@@ -58,14 +61,14 @@ class ConvINReLU(nn.Module):
 
 
 class StemConv7(nn.Module):
-    """ReflectionPad(3) + Conv7x7 + IN + ReLU stem."""
+    """ReflectionPad(3) + Conv7x7 + IN + ReLU stem (via Conv2dReflect,
+    whose lowering is selected by AP_REFLECT_CONV — see nn.py)."""
 
     features: int
 
     @nn.compact
     def __call__(self, x):
-        x = reflect_pad_2d(x, 3)
-        x = nn.Conv(self.features, (7, 7), padding=0, name="conv")(x)
+        x = Conv2dReflect(self.features, 7, name="conv")(x)
         return InstanceNorm(relu=True)(x)
 
 
@@ -79,13 +82,17 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         pad = (self.kernel - 1) // 2
-        y = _pad(x, pad, self.padding_type)
-        y = nn.Conv(self.dim, (self.kernel, self.kernel), padding=0,
-                    name="conv0")(y)
+
+        def conv(name):
+            if self.padding_type == "reflect":
+                return Conv2dReflect(self.dim, self.kernel, name=name)
+            return lambda v: nn.Conv(
+                self.dim, (self.kernel, self.kernel), padding=0,
+                name=name)(_pad(v, pad, self.padding_type))
+
+        y = conv("conv0")(x)
         y = InstanceNorm(relu=True)(y)
-        y = _pad(y, pad, self.padding_type)
-        y = nn.Conv(self.dim, (self.kernel, self.kernel), padding=0,
-                    name="conv1")(y)
+        y = conv("conv1")(y)
         y = InstanceNorm()(y)
         return x + y
 
@@ -98,11 +105,16 @@ class ResnetBlock2(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = _pad(x, 1, self.padding_type)
-        y = nn.Conv(self.dim_out, (3, 3), padding=0, name="conv0")(y)
+        def conv(name):
+            if self.padding_type == "reflect":
+                return Conv2dReflect(self.dim_out, 3, name=name)
+            return lambda v: nn.Conv(
+                self.dim_out, (3, 3), padding=0,
+                name=name)(_pad(v, 1, self.padding_type))
+
+        y = conv("conv0")(x)
         y = InstanceNorm(relu=True)(y)
-        y = _pad(y, 1, self.padding_type)
-        y = nn.Conv(self.dim_out, (3, 3), padding=0, name="conv1")(y)
+        y = conv("conv1")(y)
         y = InstanceNorm()(y)
         s = nn.Conv(self.dim_out, (3, 3), padding=1, name="shortcut")(x)
         s = InstanceNorm()(s)
@@ -121,16 +133,20 @@ class Upsample2x(nn.Module):
 
 
 class OutConv7(nn.Module):
-    """Final 7x7 conv to few output channels, taking pre-padded input.
+    """ReflectionPad2d(3) + final 7x7 conv to few output channels.
 
     Parameter-identical to ``nn.Conv(features, (7,7), padding=0,
-    name=...)`` but computed as a 1x1 channel contraction (C -> 49*f, an
-    MXU-friendly matmul) followed by a 49-tap static shifted-slice sum
-    (one fused VPU pass, f32 accumulation). XLA's direct conv emitter
-    runs a (7,7,64,1) conv at 256^2 at ~14 GB/s on v5e because the
-    single output lane wastes 127/128 of every MXU pass; this
-    decomposition is ~6x faster with identical parameters and numerics
-    within bf16 accumulation tolerance.
+    name=...)`` applied to a reflect-padded input. XLA's direct conv
+    emitter runs a (7,7,64,1) conv at 256^2 at ~14 GB/s on v5e because
+    the single output lane wastes 127/128 of every MXU pass; this module
+    instead runs a space-to-depth packed conv (~6x faster, identical
+    parameters). The reflect pad is materialized by default
+    (``AP_REFLECT_CONV=pad``); ``=fix`` folds it into the blocking pad
+    and repairs the 3-pixel borders with thin convs
+    (``nn.add_reflect_border_corrections``) — exact, but measured
+    in-graph on v5e (2026-08-20) the fold LOSES (147 vs 257 f/s
+    generator forward with every reflect conv folded; see PERF.md), so
+    it stays opt-in.
     """
 
     features: int
@@ -138,16 +154,18 @@ class OutConv7(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        N, Hp, Wp, C = x.shape
-        H, W = Hp - 6, Wp - 6
+        N, H, W, C = x.shape
         f = self.features
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (7, 7, C, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
         blk = self.block
-        if H % blk or W % blk:
-            return self._fallback(x, kernel, bias, H, W)
+        reflect_fix = os.environ.get("AP_REFLECT_CONV", "pad") != "pad"
+        if H % blk or W % blk or not reflect_fix:
+            xp = reflect_pad_2d(x, 3)
+            if H % blk or W % blk:
+                return self._fallback(xp, kernel, bias, H, W)
 
         # Space-to-depth packed conv: the (7,7,C,f) conv becomes a
         # (2,2, blk*blk*C, blk*blk*f) conv on the blk-blocked image —
@@ -162,8 +180,12 @@ class OutConv7(nn.Module):
         #                                       blk*kx+bx-px, c]
         hb = H // blk + 1
         wb = W // blk + 1
-        xp = jnp.pad(x, ((0, 0), (0, hb * blk - Hp), (0, wb * blk - Wp),
-                         (0, 0)))
+        if reflect_fix:
+            xp = jnp.pad(x, ((0, 0), (3, hb * blk - H - 3),
+                             (3, wb * blk - W - 3), (0, 0)))
+        else:
+            xp = jnp.pad(xp, ((0, 0), (0, hb * blk - H - 6),
+                              (0, wb * blk - W - 6), (0, 0)))
         xb = xp.reshape(N, hb, blk, wb, blk, C).transpose(
             0, 1, 3, 2, 4, 5).reshape(N, hb, wb, blk * blk * C)
 
@@ -195,6 +217,8 @@ class OutConv7(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         out = out.reshape(N, H // blk, W // blk, blk, blk, f).transpose(
             0, 1, 3, 2, 4, 5).reshape(N, H, W, f)
+        if reflect_fix:
+            out = add_reflect_border_corrections(out, x, kd)
         return (out.astype(jnp.float32) + bias).astype(x.dtype)
 
     def _fallback(self, x, kernel, bias, H, W):
@@ -237,7 +261,6 @@ class ResnetGenerator(nn.Module):
         for i in range(2):
             mult = 2 ** (2 - i)
             x = Upsample2x(self.ngf * mult // 2, name=f"up{i}")(x)
-        x = reflect_pad_2d(x, 3)
         x = OutConv7(self.output_nc, name="out")(x)
         return jnp.tanh(x)
 
@@ -271,7 +294,6 @@ class ResnetStyle2Generator(nn.Module):
         for i in range(2):
             mult = 2 ** (2 - i)
             x = Upsample2x(self.ngf * mult // 2, name=f"up{i}")(x)
-        x = reflect_pad_2d(x, 3)
         x = OutConv7(self.output_nc, name="out")(x)
         return jnp.tanh(x)
 
@@ -425,7 +447,6 @@ class TridentGeneratorFullIFW(nn.Module):
 
         x = self.up0(x)
         x = self.up1(x)
-        x = reflect_pad_2d(x, 3)
         x = self.out(x)
         return jnp.tanh(x)
 

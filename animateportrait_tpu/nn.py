@@ -6,6 +6,7 @@ chosen so torch checkpoints convert by pure transposition (see
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Sequence
 
 import jax
@@ -112,6 +113,169 @@ def reflect_pad_2d(x, pad: int):
 def replicate_pad_2d(x, pad: int):
     """NHWC replication padding (torch ReplicationPad2d)."""
     return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
+
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def conv2d_reflect_same(x, kernel, bias=None):
+    """Stride-1 odd-k conv with torch ReflectionPad2d(k//2) + Conv2d
+    semantics, computed WITHOUT materializing the reflect-padded tensor.
+
+    ``jnp.pad(mode='reflect')`` lowers to reversed-slice concats — a
+    full extra HBM read+write of the activation per conv (plus its
+    mirror in the backward pass). A 2026-08-19 v5e device trace
+    attributes ~6% of the generator forward to these pads (the 'pad'
+    HLO category + nn.py reflect fusions). Zero padding, by contrast,
+    folds into the conv op for free. So: run the conv zero-padded SAME
+    (every in-range tap, identical to the interior of the reflect
+    conv), then add the pad-tap contributions back onto the p border
+    rows/columns with thin 1-row/1-column convs:
+
+      top rows    y<p:  taps with r = y+ty-p < 0 read x[p-y-ty] — a
+                        1D conv of that row along W, itself
+                        reflect-padded in W so corner pads (r<0, c out
+                        of range) resolve to x[-r, ref(c)] exactly;
+      bottom      symmetric;
+      left/right  x'<p: taps with c out of range but r IN range — the
+                        1D conv down H is ZERO-padded so r-out taps
+                        (already counted by top/bottom) drop out.
+
+    Every pad tap is counted exactly once, so the result is the exact
+    linear map of the reflect conv (float reassociation only). Border
+    updates use static-slice ``.at[].add`` → in-place
+    dynamic-update-slice, never a full-tensor pass.
+
+    NOTE: measured in-graph on v5e (2026-08-20) this formulation LOSES
+    43% on the generator forward despite the per-op accounting above —
+    see the ``Conv2dReflect`` docstring and PERF.md. It is kept as the
+    opt-in ``AP_REFLECT_CONV=fix`` path.
+    """
+    k = kernel.shape[0]
+    p = k // 2
+    y = jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), [(p, p), (p, p)], dimension_numbers=_DN)
+    if bias is not None:
+        y = y + bias
+    if p == 0:
+        return y
+    return add_reflect_border_corrections(y, x, kernel)
+
+
+def add_reflect_border_corrections(y, x, kernel):
+    """Add the reflect-pad tap contributions of a stride-1 SAME conv of
+    ``x`` (N,H,W,C) by ``kernel`` (k,k,C,F) onto the zero-padded conv
+    result ``y`` (N,H,W,F). See ``conv2d_reflect_same`` for the exact
+    accounting of which 1D conv covers which pad region.
+
+    Cost discipline (v5e-measured): every (row, kernel-row) pair for one
+    side goes through ONE thin conv via a block-diagonal kernel (two
+    dispatches total: rows + columns), and the strips are applied as
+    ``y + zero-padded strips`` — a single elementwise op XLA fuses into
+    the consumer — never ``.at[].add`` (its dynamic-update-slice copies
+    the whole tensor when it cannot update in place)."""
+    k = kernel.shape[0]
+    assert kernel.shape[1] == k and k % 2 == 1, "square odd kernel"
+    p = k // 2
+    N, H, W, C = x.shape
+    F = kernel.shape[3]
+    assert H > p and W > p, "reflect padding needs size > pad"
+
+    # (source row in x, kernel row, destination out row) triples
+    rows = [(p - yo - ty, ty, yo)
+            for yo in range(p) for ty in range(p - yo)]
+    rows += [(H - 1 + p + yo - ty, ty, H - 1 - yo)
+             for yo in range(p) for ty in range(p + yo + 1, k)]
+    cols = [(p - xo - tx, tx, xo)
+            for xo in range(p) for tx in range(p - xo)]
+    cols += [(W - 1 + p + xo - tx, tx, W - 1 - xo)
+             for xo in range(p) for tx in range(p + xo + 1, k)]
+
+    def blockdiag_1d(slabs, taps, reflect):
+        """One thin conv for all (slab, kernel-1D-slice) pairs: slabs
+        (M, N, L, C) stacked as M channel blocks, kernel block-diagonal
+        (1, k, M*C, M*F); returns (M, N, L, F)."""
+        M = len(slabs)
+        xin = jnp.concatenate(slabs, axis=-1)[:, None]  # (N,1,L,M*C)
+        if reflect:
+            xin = jnp.pad(xin, ((0, 0), (0, 0), (p, p), (0, 0)),
+                          mode="reflect")
+            padw = "VALID"
+        else:
+            padw = [(0, 0), (p, p)]
+        wblk = jnp.zeros((1, k, M * C, M * F), kernel.dtype)
+        for i, t in enumerate(taps):
+            wblk = wblk.at[0, :, i * C:(i + 1) * C,
+                           i * F:(i + 1) * F].set(t)
+        out = jax.lax.conv_general_dilated(
+            xin, wblk, (1, 1), padw, dimension_numbers=_DN)[:, 0]
+        return [out[..., i * F:(i + 1) * F] for i in range(M)]
+
+    corr = jnp.zeros_like(y)
+    if rows:
+        outs = blockdiag_1d([x[:, m] for m, _, _ in rows],
+                            [kernel[t] for _, t, _ in rows], reflect=True)
+        strips = {}
+        for (_, _, dst), o in zip(rows, outs):
+            strips[dst] = strips.get(dst, 0) + o
+        # one (N, 2p, W, F) block per edge, zero-padded to full H and
+        # added in one fused elementwise op
+        top = jnp.stack([strips[yo] for yo in range(p)], axis=1)
+        bot = jnp.stack([strips[H - 1 - yo] for yo in range(p)][::-1],
+                        axis=1)
+        corr = corr + jnp.pad(top, ((0, 0), (0, H - p), (0, 0), (0, 0)))
+        corr = corr + jnp.pad(bot, ((0, 0), (H - p, 0), (0, 0), (0, 0)))
+    if cols:
+        # columns conv'd down H with ZERO padding (r-out taps belong to
+        # the row corrections): transpose the (N,H,C) columns into the
+        # thin conv's L axis
+        outs = blockdiag_1d([x[:, :, m] for m, _, _ in cols],
+                            [kernel[:, t] for _, t, _ in cols],
+                            reflect=False)
+        strips = {}
+        for (_, _, dst), o in zip(cols, outs):
+            strips[dst] = strips.get(dst, 0) + o
+        left = jnp.stack([strips[xo] for xo in range(p)], axis=2)
+        right = jnp.stack([strips[W - 1 - xo] for xo in range(p)][::-1],
+                          axis=2)
+        corr = corr + jnp.pad(left, ((0, 0), (0, 0), (0, W - p), (0, 0)))
+        corr = corr + jnp.pad(right, ((0, 0), (0, 0), (W - p, 0), (0, 0)))
+    return y + corr.astype(y.dtype)
+
+
+class Conv2dReflect(nn.Module):
+    """ReflectionPad2d(k//2) + Conv2d(k, stride 1), parameter-identical
+    to ``nn.Conv(features, (k, k), padding=0)`` applied to a
+    reflect-padded input.
+
+    Two lowerings, selected by ``AP_REFLECT_CONV``:
+    ``pad`` (default) materializes the reflect pad and runs a VALID
+    conv; ``fix`` folds the pad into a zero-padded SAME conv and
+    repairs the borders with thin convs (``conv2d_reflect_same``).
+    MEASURED AND LOST IN-GRAPH (v5e, 2026-08-20): generator forward
+    147.2 f/s with ``fix`` vs 256.8 f/s with ``pad`` (same session,
+    healthy-tunnel control), plus a much slower compile — the dozens of
+    extra thin convs and concats defeat XLA's fusion of the pads into
+    neighboring ops, which was already cheaper than the trace's 'pad'
+    category suggested. ``fix`` stays available for isolated-conv
+    workloads; see PERF.md 'what lost'."""
+
+    features: int
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (k, k, x.shape[-1], self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        x, w, b = nn.dtypes.promote_dtype(x, w, b, dtype=None)
+        if os.environ.get("AP_REFLECT_CONV", "pad") == "pad":
+            xp = reflect_pad_2d(x, k // 2)
+            return jax.lax.conv_general_dilated(
+                xp, w, (1, 1), "VALID", dimension_numbers=_DN) + b
+        return conv2d_reflect_same(x, w, b)
 
 
 def _phase_taps(k: int, s: int, p: int, op: int):

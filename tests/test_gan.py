@@ -312,8 +312,12 @@ def test_gan_loss_modes():
 
 def test_trident_encode_decode_matches_call():
     """encode_static (batch-1 photo cache) + decode must equal __call__
-    bit-for-bit — the renderer relies on this split to hoist the
-    frame-invariant stems out of the per-frame program."""
+    — the renderer relies on this split to hoist the frame-invariant
+    stems out of the per-frame program. Equality is to float noise, not
+    bitwise: XLA's CPU conv emitter may pick different reassociations
+    for the same conv at batch 1 vs batch N (observed ~5e-7 on the
+    stems once Conv2dReflect replaced the materialized pad), so bitwise
+    identity across batch sizes is not an XLA contract."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -336,4 +340,5 @@ def test_trident_encode_decode_matches_call():
                     method=TridentGeneratorFullIFW.encode_static)
     got = g.apply(v, cache, l2, motion, flow, ifmask,
                   method=TridentGeneratorFullIFW.decode)
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5)

@@ -40,7 +40,7 @@ def test_phase_split_matches_torch(k, s, p, op):
     v = {"params": {"kernel": jnp.asarray(w), "bias": jnp.asarray(b)}}
     y = np.asarray(m.apply(v, jnp.asarray(x)))
     assert y.shape == ref.shape
-    np.testing.assert_allclose(y, ref, atol=2e-5)
+    np.testing.assert_allclose(y, ref, atol=1e-4)
 
 
 def test_phase_split_matches_dilated_path(monkeypatch):
@@ -86,3 +86,64 @@ def test_separable_resize_matches_torch(ac, hw):
                         size=(Ho, Wo), mode="bilinear",
                         align_corners=ac).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(y, ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape_k", [((2, 10, 12, 5, 4), 3),
+                                     ((1, 8, 8, 3, 2), 7),
+                                     ((2, 7, 9, 4, 4), 5),
+                                     ((1, 4, 5, 2, 3), 3)])
+def test_conv2d_reflect_same_exact(shape_k):
+    """conv2d_reflect_same == ReflectionPad2d(k//2) + VALID conv, to
+    float-reassociation tolerance, values and gradients."""
+    from animateportrait_tpu.nn import conv2d_reflect_same, reflect_pad_2d
+
+    (N, H, W, C, F), k = shape_k
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((N, H, W, C)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, k, C, F)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((F,)), jnp.float32)
+
+    def ref(x, w):
+        return jax.lax.conv_general_dilated(
+            reflect_pad_2d(x, k // 2), w, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+
+    np.testing.assert_allclose(np.asarray(conv2d_reflect_same(x, w, b)),
+                               np.asarray(ref(x, w)), atol=1e-4)
+    g1 = jax.grad(lambda x, w: jnp.sum(jnp.sin(
+        conv2d_reflect_same(x, w, b))), argnums=(0, 1))(x, w)
+    g2 = jax.grad(lambda x, w: jnp.sum(jnp.sin(ref(x, w))),
+                  argnums=(0, 1))(x, w)
+    for a, bb in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   atol=1e-4)
+
+
+def test_conv2d_reflect_module_matches_pad_path(monkeypatch):
+    """Conv2dReflect and OutConv7 compute the same values with
+    AP_REFLECT_CONV=fix (border corrections) and =pad (materialized
+    reflect pad), with identical parameter trees."""
+    from animateportrait_tpu.models.gan import OutConv7
+    from animateportrait_tpu.nn import Conv2dReflect
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 6)), jnp.float32)
+    m = Conv2dReflect(4, 3)
+    v = m.init(jax.random.key(0), x)
+    assert set(v["params"]) == {"kernel", "bias"}
+    monkeypatch.setenv("AP_REFLECT_CONV", "fix")
+    y_fix = m.apply(v, x)
+    monkeypatch.setenv("AP_REFLECT_CONV", "pad")
+    y_pad = m.apply(v, x)
+    np.testing.assert_allclose(np.asarray(y_fix), np.asarray(y_pad),
+                               atol=1e-4)
+
+    mo = OutConv7(1)  # 16 % block(8) == 0 -> packed path both ways
+    vo = mo.init(jax.random.key(1), x)
+    monkeypatch.setenv("AP_REFLECT_CONV", "fix")
+    o_fix = mo.apply(vo, x)
+    monkeypatch.setenv("AP_REFLECT_CONV", "pad")
+    o_pad = mo.apply(vo, x)
+    assert o_fix.shape == (2, 16, 16, 1)
+    np.testing.assert_allclose(np.asarray(o_fix), np.asarray(o_pad),
+                               atol=1e-4)

@@ -82,3 +82,24 @@ def test_instance_norm_module_relu_refactor():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     variables = InstanceNorm(relu=True).init(jax.random.key(0), x)
     assert variables == {}
+
+
+def test_onepass_stats_matches_twopass(monkeypatch):
+    """AP_IN_STATS=onepass (fused E[x^2]-E[x]^2 statistics, one HBM
+    read) matches the two-pass mean/var formulation to f32 cancellation
+    noise, values and gradients, on offset-heavy inputs."""
+    from animateportrait_tpu.ops.pallas_instnorm import _xla_instance_norm
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 32)) * 3.0 + 7.0,
+                    jnp.float32)
+    monkeypatch.setenv("AP_IN_STATS", "twopass")
+    a = _xla_instance_norm(x, 1e-5, True)
+    ga = jax.grad(lambda v: jnp.sum(jnp.sin(
+        _xla_instance_norm(v, 1e-5, True))))(x)
+    monkeypatch.setenv("AP_IN_STATS", "onepass")
+    b = _xla_instance_norm(x, 1e-5, True)
+    gb = jax.grad(lambda v: jnp.sum(jnp.sin(
+        _xla_instance_norm(v, 1e-5, True))))(x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-4)

@@ -77,3 +77,15 @@ def test_report_renders():
     assert "convolution fusion" in body
     assert "ms/step" in body
     assert "TFLOP/s" in body
+
+
+def test_report_category_drilldown():
+    from profile_device import _aggregate, _report_category
+
+    body = _report_category(_aggregate(_mk_events()), steps=2,
+                            category="data formatting")
+    assert "copy.1" in body
+    assert "b.py:2" in body
+    assert "30.0%" in body  # 300 of 1000 us
+    # ops from other categories are excluded
+    assert "fusion.1" not in body

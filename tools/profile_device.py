@@ -69,6 +69,8 @@ def _aggregate(events: list[dict]):
         ops = [e for e in xs if lane(e) != "XLA Modules"]
     by_cat = collections.Counter()
     by_src = collections.Counter()
+    by_op = collections.Counter()
+    op_meta = {}
     flops = 0.0
     total = 0.0
     for e in ops:
@@ -78,12 +80,17 @@ def _aggregate(events: list[dict]):
         key = f"{cat} @ {src}" if src else cat
         by_cat[cat] += e["dur"]
         by_src[key] += e["dur"]
+        by_op[e["name"]] += e["dur"]
+        if e["name"] not in op_meta:
+            op_meta[e["name"]] = (cat, src,
+                                  str(args.get("long_name", ""))[:160])
         flops += float(args.get("model_flops", 0) or 0)
         total += e["dur"]
     lanes_used = sorted({pnames.get(e.get("pid"), "") + "/" + lane(e)
                          for e in ops})
-    return dict(by_cat=by_cat, by_src=by_src, flops=flops, total=total,
-                lanes=lanes_used, on_device=on_device)
+    return dict(by_cat=by_cat, by_src=by_src, by_op=by_op, op_meta=op_meta,
+                flops=flops, total=total, lanes=lanes_used,
+                on_device=on_device)
 
 
 def _report(agg, steps, top=12):
@@ -109,6 +116,28 @@ def _report(agg, steps, top=12):
     for name, dur in agg["by_src"].most_common(top):
         lines.append(f"| {name[:90]} | {dur / 1e3 / max(steps, 1):.3f} | "
                      f"{100 * dur / max(total, 1e-9):.1f} |")
+    return "\n".join(lines)
+
+
+def _report_category(agg, steps, category, top=25):
+    """Drill into one HLO category: top individual ops with source and
+    the trace's long_name (shape/layout detail when the runtime emits
+    it). Used to chase the 'data formatting' bucket op by op."""
+    meta = agg["op_meta"]
+    rows = [(name, dur) for name, dur in agg["by_op"].most_common()
+            if meta.get(name, ("",))[0] == category]
+    total = agg["total"]
+    lines = [f"top '{category}' ops "
+             f"({100 * sum(d for _, d in rows) / max(total, 1e-9):.1f}% "
+             f"of device busy):",
+             "", "| op | ms/step | % | source | detail |",
+             "|---|---|---|---|---|"]
+    for name, dur in rows[:top]:
+        cat, src, long_name = meta[name]
+        lines.append(
+            f"| {name} | {dur / 1e3 / max(steps, 1):.3f} | "
+            f"{100 * dur / max(total, 1e-9):.1f} | {src[:60]} | "
+            f"{long_name[:100]} |")
     return "\n".join(lines)
 
 
@@ -181,6 +210,12 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--out", default="/tmp/jax_trace")
     ap.add_argument("--md", default="")
+    ap.add_argument("--drill", default="",
+                    help="HLO category to break down op-by-op "
+                         "(e.g. 'data formatting')")
+    ap.add_argument("--parse-only", action="store_true",
+                    help="re-parse an existing trace under --out "
+                         "without re-running the program")
     args = ap.parse_args(argv)
 
     sections = []
@@ -188,11 +223,15 @@ def main(argv=None):
                  else [args.what]):
         log_dir = os.path.join(args.out, prog)
         os.makedirs(log_dir, exist_ok=True)
-        print(f"[profile] tracing {prog} x{args.steps} ...", flush=True)
-        (profile_generator if prog == "generator"
-         else profile_train)(args.steps, log_dir)
+        if not args.parse_only:
+            print(f"[profile] tracing {prog} x{args.steps} ...",
+                  flush=True)
+            (profile_generator if prog == "generator"
+             else profile_train)(args.steps, log_dir)
         agg = _aggregate(_load_trace_events(log_dir))
         body = _report(agg, args.steps)
+        if args.drill:
+            body += "\n\n" + _report_category(agg, args.steps, args.drill)
         print(f"== {prog} ==\n{body}\n", flush=True)
         sections.append(f"### {prog}\n\n{body}")
     if args.md:
