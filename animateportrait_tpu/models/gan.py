@@ -30,8 +30,8 @@ import flax.linen as nn
 
 from animateportrait_tpu.nn import (
     Conv2dReflect, ConvTranspose2dTorch, InstanceNorm,
-    add_reflect_border_corrections, interpolate_bilinear, reflect_pad_2d,
-    replicate_pad_2d)
+    add_reflect_border_corrections, interpolate_bilinear,
+    reflect_conv_mode, reflect_pad_2d, replicate_pad_2d)
 from animateportrait_tpu.ops.warp import grid_sample, warp_acc_flow  # noqa: F401 (re-exported for callers)
 
 
@@ -161,7 +161,7 @@ class OutConv7(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
                           jnp.float32)
         blk = self.block
-        reflect_fix = os.environ.get("AP_REFLECT_CONV", "pad") != "pad"
+        reflect_fix = reflect_conv_mode() == "fix"
         if H % blk or W % blk or not reflect_fix:
             xp = reflect_pad_2d(x, 3)
             if H % blk or W % blk:

@@ -14,6 +14,29 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 
+def env_choice(name: str, default: str, allowed: tuple[str, ...]) -> str:
+    """Read a lowering-selector env var, rejecting unknown values.
+
+    These selectors are read at TRACE time: changing the env var after a
+    function has been jit-compiled has no effect until a retrace. A typo
+    ('0', 'off', ...) must raise rather than silently select a non-default
+    lowering — AP_REFLECT_CONV's non-default path is measured 43% slower.
+    """
+    val = os.environ.get(name, default)
+    if val not in allowed:
+        raise ValueError(
+            f"{name}={val!r}: expected one of {sorted(allowed)}")
+    return val
+
+
+def reflect_conv_mode() -> str:
+    """'pad' (default): materialized reflect pad + VALID conv.
+    'fix': zero-padded SAME conv + border-repair thin convs — only for
+    isolated-conv workloads; in-graph it is measured 43% slower (see
+    Conv2dReflect). Trace-time read; see ``env_choice``."""
+    return env_choice("AP_REFLECT_CONV", "pad", ("pad", "fix"))
+
+
 class PReLU(nn.Module):
     """Channel-wise parametric ReLU (torch nn.PReLU(num_parameters=C))."""
 
@@ -248,7 +271,8 @@ class Conv2dReflect(nn.Module):
     to ``nn.Conv(features, (k, k), padding=0)`` applied to a
     reflect-padded input.
 
-    Two lowerings, selected by ``AP_REFLECT_CONV``:
+    Two lowerings, selected by ``AP_REFLECT_CONV`` (validated,
+    trace-time read — see ``reflect_conv_mode``):
     ``pad`` (default) materializes the reflect pad and runs a VALID
     conv; ``fix`` folds the pad into a zero-padded SAME conv and
     repairs the borders with thin convs (``conv2d_reflect_same``).
@@ -271,7 +295,7 @@ class Conv2dReflect(nn.Module):
         b = self.param("bias", nn.initializers.zeros, (self.features,),
                        jnp.float32)
         x, w, b = nn.dtypes.promote_dtype(x, w, b, dtype=None)
-        if os.environ.get("AP_REFLECT_CONV", "pad") == "pad":
+        if reflect_conv_mode() == "pad":
             xp = reflect_pad_2d(x, k // 2)
             return jax.lax.conv_general_dilated(
                 xp, w, (1, 1), "VALID", dimension_numbers=_DN) + b
@@ -326,7 +350,8 @@ class ConvTranspose2dTorch(nn.Module):
             (k, k, self.features, in_ch))  # HWOI: transpose_kernel layout
         if (_phase_taps(k, self.stride, self.padding,
                         self.output_padding) is not None
-                and os.environ.get("AP_CONVT", "phase") == "phase"):
+                and env_choice("AP_CONVT", "phase",
+                               ("phase", "dilated")) == "phase"):
             y = self._phase_split(x, kernel)
         else:
             lo = k - 1 - self.padding

@@ -44,7 +44,9 @@ _MAX_HW = 64 * 64
 
 def _xla_instance_norm(x, eps: float, relu: bool):
     xs = x.astype(jnp.float32)
-    if os.environ.get("AP_IN_STATS", "onepass") == "onepass":
+    from animateportrait_tpu.nn import env_choice
+    if env_choice("AP_IN_STATS", "onepass",
+                  ("onepass", "twopass")) == "onepass":
         # E[x^2]-E[x]^2: both sums read the input once and XLA
         # sibling-fuses them into a single reduction loop — one HBM
         # pass for statistics instead of two (mean, then (x-mean)^2).

@@ -340,5 +340,8 @@ def test_trident_encode_decode_matches_call():
                     method=TridentGeneratorFullIFW.encode_static)
     got = g.apply(v, cache, l2, motion, flow, ifmask,
                   method=TridentGeneratorFullIFW.decode)
+    # encode_static/decode is the SAME graph split in two — measured
+    # drift on this host is 0.0, previously <=5e-7 — so hold the cache
+    # contract near-bitwise; renderer photo-cache consumers assume it.
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               atol=2e-5)
+                               atol=1e-6)
