@@ -23,6 +23,31 @@ def save(path: str, state: Any, force: bool = True) -> None:
     ckptr.wait_until_finished()
 
 
+def save_flax_npz(path: str, variables: Any) -> None:
+    """Single-file flax variable dict -> .npz ('/'-joined key paths).
+
+    The portable sibling of the torch converters: lets ``--frozen_dir``
+    carry nets trained IN this framework (e.g. a stand-in frozen
+    MobileFaceNet from ``tools/train_standin_frozen.py``) without a
+    torch round-trip. Collections (params / batch_stats / ...) are the
+    first path component.
+    """
+    import numpy as np
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(variables, sep="/")
+    np.savez(path, **{k: np.asarray(v) for k, v in flat.items()})
+
+
+def load_flax_npz(path: str) -> Any:
+    import numpy as np
+    from flax import traverse_util
+
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    return traverse_util.unflatten_dict(flat, sep="/")
+
+
 def restore(path: str, target: Any | None = None) -> Any:
     import orbax.checkpoint as ocp
 

@@ -124,6 +124,14 @@ def main(argv=None):
             load_mobilefacenet_params, load_sphere20a_params)
 
         def opt(path, loader, fallback_key):
+            # native flax checkpoint (a net trained/frozen by THIS
+            # framework, e.g. tools/train_standin_frozen.py) wins over
+            # a converted torch one of the same role
+            native = os.path.join(fd, f"{fallback_key}.flax.npz")
+            if os.path.exists(native):
+                from animateportrait_tpu.io.checkpoint import load_flax_npz
+                print(f"[train] frozen {fallback_key}: native {native}")
+                return load_flax_npz(native)
             if os.path.exists(path):
                 return loader(load_torch_statedict(path))
             print(f"[train] WARNING: missing frozen ckpt {path}; "

@@ -233,6 +233,8 @@ def bench_train_step() -> float:
     chip; returns steps/sec."""
     import jax
 
+    from animateportrait_tpu.utils.observe import enable_compile_cache
+    enable_compile_cache(os.environ.get("JAX_COMPILATION_CACHE_DIR"))
     from animateportrait_tpu.train.module2 import (
         Module2Config, build_train_step, init_frozen_random, init_state,
         make_example_batch)
@@ -463,19 +465,9 @@ def _arm_watchdog():
     budget = float(os.environ.get("BENCH_WATCHDOG_SECS", "2700"))
 
     def fire():
-        print(json.dumps({
-            "metric": "e2e_pipeline_frames_per_sec_256px",
-            "value": None,
-            "unit": "frames/sec/chip",
-            "vs_baseline": None,
-            "error": f"watchdog: no result after {budget:.0f}s "
-                     "(device/tunnel unreachable or compile stuck)",
-            # context, NOT a measurement: the most recent completed
-            # on-hardware run of this metric (see PERF.md for the ledger)
-            "last_measured": {"value": 156.366, "date": "2026-08-19",
-                              "note": "same metric, v5e chip "
-                                      "(tools/measure_sweep_r3.jsonl)"},
-        }), flush=True)
+        print(_error_payload(
+            f"watchdog: no result after {budget:.0f}s "
+            "(device/tunnel unreachable or compile stuck)"), flush=True)
         os._exit(3)
 
     t = threading.Timer(budget, fire)
@@ -483,39 +475,74 @@ def _arm_watchdog():
     t.start()
 
 
-def _probe_device(budget: float = 180.0) -> bool:
-    """Cheap liveness probe in a subprocess: a wedged remote-TPU tunnel
-    blocks jax.devices() itself forever (observed 2026-08-17), which the
-    in-process watchdog only catches after its full budget. Returns False
-    (and prints the error JSON) when the backend is unreachable."""
+#: context for error payloads, NOT a measurement: the most recent
+#: completed on-hardware run of each metric (ledger in PERF.md)
+_LAST_MEASURED = {
+    "e2e_pipeline_frames_per_sec_256px": {
+        "value": 156.366, "date": "2026-08-19",
+        "note": "same metric, v5e chip (tools/measure_sweep_r3.jsonl)"},
+    "module2_train_steps_per_sec_256px": {
+        "value": 4.90, "date": "2026-08-19",
+        "note": "same metric, v5e chip (tools/measure_sweep_r3b.jsonl)"},
+    "generator_forward_frames_per_sec_256px": {
+        "value": 263.0, "date": "2026-08-19",
+        "note": "same metric, v5e chip (tools/measure_sweep_r3.jsonl)"},
+}
+
+
+def _active_metric() -> tuple[str, str]:
+    if os.environ.get("BENCH_TRAIN"):
+        return "module2_train_steps_per_sec_256px", "steps/sec/chip"
+    if os.environ.get("BENCH_MODE") == "generator":
+        return "generator_forward_frames_per_sec_256px", "frames/sec/chip"
+    return "e2e_pipeline_frames_per_sec_256px", "frames/sec/chip"
+
+
+def _error_payload(msg: str) -> str:
+    metric, unit = _active_metric()
+    return json.dumps({
+        "metric": metric, "value": None, "unit": unit,
+        "vs_baseline": None, "error": msg,
+        "last_measured": _LAST_MEASURED[metric],
+    })
+
+
+def _probe_device(budget: float = 300.0) -> bool:
+    """Liveness probe in a subprocess. Two distinct failure modes are
+    covered: a wedged remote-TPU tunnel blocks jax.devices() itself
+    forever (observed 2026-08-17), and a FAILED_PRECONDITION backend
+    leaves jax.devices() healthy while every actual computation dies
+    (observed 2026-08-20, BENCH_r04 — hence the tiny jitted computation
+    WITH forced scalar readback, which is what that mode breaks).
+    Returns False (and prints the error JSON) when either check fails."""
     import subprocess
     import sys
 
     if os.environ.get("BENCH_SKIP_PROBE"):
         return True
+    code = ("import jax, jax.numpy as jnp;"
+            "x = jax.jit(lambda a: jnp.sum(a * a))(jnp.arange(17.0));"
+            "assert float(x) == 1496.0, float(x)")
     try:
-        subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=budget, check=True, capture_output=True)
+        subprocess.run([sys.executable, "-c", code],
+                       timeout=budget, check=True, capture_output=True)
         return True
+    except subprocess.CalledProcessError as e:
+        tail = (e.stderr or b"").decode(errors="replace").strip()[-300:]
+        print(_error_payload(
+            "device probe failed: jitted compute+readback errored "
+            f"(backend up but broken?): ...{tail}"), flush=True)
+        return False
     except Exception as e:
-        print(json.dumps({
-            "metric": "e2e_pipeline_frames_per_sec_256px",
-            "value": None,
-            "unit": "frames/sec/chip",
-            "vs_baseline": None,
-            "error": f"device probe failed ({type(e).__name__}): "
-                     "jax.devices() unreachable — remote tunnel down",
-            "last_measured": {"value": 156.366, "date": "2026-08-19",
-                              "note": "same metric, v5e chip "
-                                      "(tools/measure_sweep_r3.jsonl)"},
-        }), flush=True)
+        print(_error_payload(
+            f"device probe failed ({type(e).__name__}): "
+            "jax.devices()/compute unreachable — remote tunnel down"),
+            flush=True)
         return False
 
 
-def main():
-    if not _probe_device():
-        raise SystemExit(3)
+def _run_inner():
+    """One measurement attempt; prints the result JSON line or raises."""
     _arm_watchdog()
     if os.environ.get("BENCH_TRAIN"):
         sps = bench_train_step()
@@ -569,6 +596,68 @@ def main():
     if train_err:
         out["train_error"] = train_err
     print(json.dumps(out))
+
+
+def main():
+    """Probe, then measure in a CHILD process with one retry.
+
+    BENCH_r04 recorded nothing because a mid-run FAILED_PRECONDITION
+    propagated as a raw traceback. Three defenses, in order: (1) the
+    probe now runs a real jitted computation with readback (the exact
+    thing that mode breaks) before spending minutes compiling; (2) the
+    measurement runs in a subprocess whose failure is converted to a
+    structured error JSON with `last_measured` context — stdout always
+    ends in a parseable line; (3) a transient backend error gets ONE
+    retry in a fresh process (fresh tunnel connection + backend client)
+    before giving up. BENCH_NO_RETRY=1 disables (3); BENCH_INNER=1 is
+    the child marker (also usable directly for single-process runs)."""
+    import subprocess
+    import sys
+
+    if os.environ.get("BENCH_INNER"):
+        try:
+            _run_inner()
+        except Exception as e:  # noqa: BLE001 - structured, not a traceback
+            import traceback
+            tb = traceback.format_exc(limit=-3).strip().replace("\n", " | ")
+            print(_error_payload(f"{type(e).__name__}: {e} [{tb[-500:]}]"),
+                  flush=True)
+            raise SystemExit(4)
+        return
+
+    if not _probe_device():
+        raise SystemExit(3)
+    budget = float(os.environ.get("BENCH_WATCHDOG_SECS", "2700"))
+    env = dict(os.environ, BENCH_INNER="1", BENCH_SKIP_PROBE="1")
+    attempts = 1 if os.environ.get("BENCH_NO_RETRY") else 2
+    for attempt in range(1, attempts + 1):
+        try:
+            p = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, capture_output=True, text=True,
+                               timeout=budget + 300)
+        except subprocess.TimeoutExpired:
+            print(_error_payload(
+                f"attempt {attempt}: no result after {budget + 300:.0f}s "
+                "(child hung past its own watchdog)"), flush=True)
+            raise SystemExit(3)
+        if p.returncode == 0:
+            sys.stdout.write(p.stdout)
+            sys.stderr.write(p.stderr[-2000:])
+            return
+        last = p
+        if attempt < attempts:
+            sys.stderr.write(
+                f"bench attempt {attempt} failed (rc={p.returncode}); "
+                f"stdout tail: {p.stdout.strip()[-500:]}\n"
+                f"stderr tail: {p.stderr.strip()[-500:]}\n"
+                "retrying once in a fresh process...\n")
+    # both attempts failed — forward the last attempt's output so the
+    # driver records the child's structured error JSON (never a bare
+    # traceback: the child converts exceptions, and its watchdog emits
+    # the same payload on hang)
+    sys.stdout.write(last.stdout)
+    sys.stderr.write(last.stderr[-2000:])
+    raise SystemExit(last.returncode or 4)
 
 
 if __name__ == "__main__":

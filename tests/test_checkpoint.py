@@ -54,3 +54,38 @@ def test_grad_norms():
     out = grad_norms(g)
     np.testing.assert_allclose(float(out["global_norm"]), 5.0, atol=1e-6)
     np.testing.assert_allclose(float(out["mean_abs"]), 7.0 / 6.0, atol=1e-6)
+
+
+def test_flax_npz_roundtrip(tmp_path):
+    """Native <name>.flax.npz frozen checkpoints (the format
+    train_cli --frozen_dir prefers over converted torch files)."""
+    from animateportrait_tpu.io.checkpoint import (load_flax_npz,
+                                                   save_flax_npz)
+
+    variables = {
+        "params": {"conv1": {"kernel": np.arange(12.0).reshape(2, 2, 3),
+                             "bias": np.zeros(3)},
+                   "block": {"bn": {"scale": np.ones(4)}}},
+        "batch_stats": {"block": {"bn": {"mean": np.full(4, 0.5),
+                                         "var": np.full(4, 2.0)}}},
+    }
+    path = str(tmp_path / "net.flax.npz")
+    save_flax_npz(path, variables)
+    got = load_flax_npz(path)
+    flat_a = jax.tree_util.tree_leaves_with_path(variables)
+    flat_b = jax.tree_util.tree_leaves_with_path(got)
+    assert [k for k, _ in flat_a] == [k for k, _ in flat_b]
+    for (_, a), (_, b) in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_env_choice_validation(monkeypatch):
+    from animateportrait_tpu.nn import env_choice
+
+    monkeypatch.delenv("AP_TEST_KNOB", raising=False)
+    assert env_choice("AP_TEST_KNOB", "a", ("a", "b")) == "a"
+    monkeypatch.setenv("AP_TEST_KNOB", "b")
+    assert env_choice("AP_TEST_KNOB", "a", ("a", "b")) == "b"
+    monkeypatch.setenv("AP_TEST_KNOB", "oops")
+    with pytest.raises(ValueError, match="AP_TEST_KNOB"):
+        env_choice("AP_TEST_KNOB", "a", ("a", "b"))

@@ -152,7 +152,7 @@ def build_dataset(root, n_a=6, n_b=6, n_clip=6, size=300, seed=0):
 
 
 def run_training(root, ckpt_dir, crop, steps_phase1, steps_total,
-                 steps_per_epoch, ngf, print_freq=10):
+                 steps_per_epoch, ngf, print_freq=10, frozen_dir=None):
     env = dict(os.environ)
     common = [
         sys.executable, "-m", "animateportrait_tpu.train_cli",
@@ -172,7 +172,11 @@ def run_training(root, ckpt_dir, crop, steps_phase1, steps_total,
         "--print_freq", str(print_freq),
         "--display_freq", str(steps_per_epoch),
         "--save_latest_freq", str(steps_per_epoch),
-        "--frozen_dir", os.path.join(ckpt_dir, "frozen-none"),
+        # default: a nonexistent dir -> random frozen nets; pass
+        # --frozen_dir with tools/train_standin_frozen.py output to give
+        # geom_B/iden_B a meaningful frozen signal
+        "--frozen_dir", frozen_dir or os.path.join(ckpt_dir,
+                                                   "frozen-none"),
     ]
     print(f"[overfit] phase 1: {steps_phase1} steps")
     subprocess.run(common + ["--max_steps", str(steps_phase1)],
@@ -237,6 +241,9 @@ def main():
     ap.add_argument("--ngf", type=int, default=32)
     ap.add_argument("--steps_per_epoch", type=int, default=50)
     ap.add_argument("--out", default=os.path.join(REPO, "CONVERGENCE.md"))
+    ap.add_argument("--frozen_dir", default=None,
+                    help="trained stand-in frozen nets "
+                         "(tools/train_standin_frozen.py output)")
     args = ap.parse_args()
 
     root = os.path.join(args.workdir, "drawing")
@@ -245,7 +252,8 @@ def main():
         print("[overfit] building constructed dataset")
         build_dataset(root)
     run_training(root, ckpt, args.crop, args.steps // 2, args.steps,
-                 args.steps_per_epoch, args.ngf)
+                 args.steps_per_epoch, args.ngf,
+                 frozen_dir=args.frozen_dir)
     summarize(ckpt, args.out)
 
 
