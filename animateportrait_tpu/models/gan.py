@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from animateportrait_tpu import nn as nn_mod
 from animateportrait_tpu.nn import (
     Conv2dReflect, ConvTranspose2dTorch, InstanceNorm,
     add_reflect_border_corrections, interpolate_bilinear,
@@ -43,6 +44,34 @@ def _pad(x, pad, padding_type):
     raise ValueError(padding_type)
 
 
+class _S2DConv(nn.Module):
+    """Drop-in for nn.Conv(k odd, stride 2, padding k//2) computed as a
+    space-to-depth packed conv (ops/pack.py): same param names/shapes
+    (kernel HWIO + bias), exact same math (verified <=1.3e-6), 4x the
+    MXU lane utilization for the C<128 stems.
+
+    MEASURED AND LOST on v5e (2026-08-20): generator forward 232.0 f/s
+    with AP_S2D_STEM=1 vs 273.0/271.3 same-session controls (-15%). At
+    C=64 (half lanes) XLA's internal conv layouts already cost less
+    than the explicit blocked reshape/transpose this adds; pack.py's
+    win was at C=16 (1/8 lanes, FlowUnet stem). Kept opt-in for
+    narrower-stem variants."""
+
+    features: int
+    kernel: int
+
+    @nn.compact
+    def __call__(self, x):
+        from animateportrait_tpu.ops.pack import s2d_conv_stride2
+        k = self.kernel
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (k, k, x.shape[-1], self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        x, w, b = nn.dtypes.promote_dtype(x, w, b, dtype=None)
+        return s2d_conv_stride2(x, w) + b
+
+
 class ConvINReLU(nn.Module):
     """Conv -> InstanceNorm -> (optional ReLU), 'zero' torch padding."""
 
@@ -54,9 +83,16 @@ class ConvINReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=self.stride, padding=self.padding,
-                    name="conv")(x)
+        if (self.stride == 2 and self.kernel % 2 == 1
+                and self.padding == self.kernel // 2
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+                and nn_mod.env_choice("AP_S2D_STEM", "0",
+                                      ("0", "1")) == "1"):
+            x = _S2DConv(self.features, self.kernel, name="conv")(x)
+        else:
+            x = nn.Conv(self.features, (self.kernel, self.kernel),
+                        strides=self.stride, padding=self.padding,
+                        name="conv")(x)
         return InstanceNorm(relu=self.relu)(x)
 
 

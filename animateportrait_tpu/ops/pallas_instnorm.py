@@ -45,8 +45,40 @@ _MAX_HW = 64 * 64
 def _xla_instance_norm(x, eps: float, relu: bool):
     xs = x.astype(jnp.float32)
     from animateportrait_tpu.nn import env_choice
-    if env_choice("AP_IN_STATS", "onepass",
-                  ("onepass", "twopass")) == "onepass":
+    mode = env_choice("AP_IN_STATS", "onepass",
+                      ("onepass", "twopass", "matmul"))
+    if mode == "matmul":
+        # Statistics as MXU dots over the flattened spatial dim. The
+        # round-4 device trace attributes ~8% of generator device-busy
+        # to 'data formatting' copies around the IN reduces: XLA
+        # relayouts the activation to spatial-minor for the (H, W)
+        # reduction, then back to channel-minor for the next conv (two
+        # full read+write passes of the tensor). A dot against a ones
+        # vector computes the same sums in the conv's own layout; the
+        # square fuses into the second dot's operand read.
+        # MEASURED AND LOST on v5e (2026-08-20): generator forward
+        # 251.2 f/s vs 271-273 onepass controls (-7.5%) — the two dots
+        # re-read the activation from HBM (the sibling-fused onepass
+        # reduce reads it once) and the relayout copies around the
+        # surrounding convs persist regardless (they belong to the conv
+        # emitter's internal blocked layouts, not to the reduce).
+        # Kept opt-in for the ledger; see PERF.md round-5 entries.
+        n, h, w, c = x.shape
+        cnt = h * w
+        xf = xs.reshape(n, cnt, c)
+        # barrier: a CONSTANT ones operand gets algebraically folded
+        # back into reduce(x) — the exact HLO whose relayout this mode
+        # exists to avoid (verified: without the barrier the compiled
+        # program is bit-identical to 'onepass')
+        ones = jax.lax.optimization_barrier(jnp.ones((cnt,), jnp.float32))
+        s1 = jnp.einsum("npc,p->nc", xf, ones,
+                        preferred_element_type=jnp.float32)
+        s2 = jnp.einsum("npc,p->nc", jnp.square(xf), ones,
+                        preferred_element_type=jnp.float32)
+        mean = (s1 / cnt)[:, None, None, :]
+        var = jnp.maximum((s2 / cnt)[:, None, None, :]
+                          - jnp.square(mean), 0.0)
+    elif mode == "onepass":
         # E[x^2]-E[x]^2: both sums read the input once and XLA
         # sibling-fuses them into a single reduction loop — one HBM
         # pass for statistics instead of two (mean, then (x-mean)^2).

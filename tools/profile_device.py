@@ -70,9 +70,11 @@ def _aggregate(events: list[dict]):
     by_cat = collections.Counter()
     by_src = collections.Counter()
     by_op = collections.Counter()
+    cat_bytes = collections.Counter()
     op_meta = {}
     flops = 0.0
     total = 0.0
+    bytes_total = 0.0
     for e in ops:
         args = e.get("args", {}) or {}
         cat = args.get("hlo_category", e["name"].split(".")[0])
@@ -85,12 +87,19 @@ def _aggregate(events: list[dict]):
             op_meta[e["name"]] = (cat, src,
                                   str(args.get("long_name", ""))[:160])
         flops += float(args.get("model_flops", 0) or 0)
+        # TPU op events may carry memory-traffic counters; sum whichever
+        # is present so the roofline can be checked from the trace
+        b = (args.get("bytes_accessed", 0) or args.get("bytes accessed", 0)
+             or 0)
+        cat_bytes[cat] += float(b)
+        bytes_total += float(b)
         total += e["dur"]
     lanes_used = sorted({pnames.get(e.get("pid"), "") + "/" + lane(e)
                          for e in ops})
     return dict(by_cat=by_cat, by_src=by_src, by_op=by_op, op_meta=op_meta,
                 flops=flops, total=total, lanes=lanes_used,
-                on_device=on_device)
+                on_device=on_device, bytes_total=bytes_total,
+                cat_bytes=cat_bytes)
 
 
 def _report(agg, steps, top=12):
@@ -108,10 +117,18 @@ def _report(agg, steps, top=12):
             f"model FLOPs: {fl / 1e9:.2f} GFLOP/step -> "
             f"{fl / (per_step_ms / 1e3) / 1e12:.2f} TFLOP/s achieved "
             f"over device-busy time")
-    lines += ["", "| HLO category | ms/step | % |", "|---|---|---|"]
+    if agg.get("bytes_total"):
+        bt = agg["bytes_total"] / max(steps, 1)
+        lines.append(
+            f"trace memory traffic: {bt / 1e9:.2f} GB/step -> "
+            f"{bt / (per_step_ms / 1e3) / 1e9:.1f} GB/s over "
+            "device-busy time")
+    lines += ["", "| HLO category | ms/step | % | GB/step |",
+              "|---|---|---|---|"]
     for name, dur in agg["by_cat"].most_common(top):
+        gb = agg.get("cat_bytes", {}).get(name, 0) / 1e9 / max(steps, 1)
         lines.append(f"| {name} | {dur / 1e3 / max(steps, 1):.3f} | "
-                     f"{100 * dur / max(total, 1e-9):.1f} |")
+                     f"{100 * dur / max(total, 1e-9):.1f} | {gb:.2f} |")
     lines += ["", "| category @ source | ms/step | % |", "|---|---|---|"]
     for name, dur in agg["by_src"].most_common(top):
         lines.append(f"| {name[:90]} | {dur / 1e3 / max(steps, 1):.3f} | "
@@ -178,6 +195,8 @@ def profile_train(steps: int, log_dir: str):
         make_example_batch)
 
     cfg = Module2Config(
+        compute_dtype=("bfloat16" if os.environ.get("PROF_BF16")
+                       else "float32"),
         batch_d_passes=bool(int(os.environ.get("PROF_BATCH_D", "0"))))
     rng = jax.random.key(0)
     try:
