@@ -345,3 +345,25 @@ def test_trident_encode_decode_matches_call():
     # contract near-bitwise; renderer photo-cache consumers assume it.
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-6)
+
+
+def test_s2d_stem_matches_plain_conv(monkeypatch):
+    """AP_S2D_STEM=1 (stride-2 stems as space-to-depth packed convs —
+    measured net-negative at C=64 on v5e, kept as a documented opt-in)
+    is parameter-compatible and numerically equal to the plain conv."""
+    import jax
+
+    from animateportrait_tpu.models.gan import ConvINReLU
+
+    x = jnp.asarray(np.random.default_rng(5).standard_normal(
+        (2, 20, 20, 10)), jnp.float32)
+    m = ConvINReLU(14, stride=2)
+    monkeypatch.delenv("AP_S2D_STEM", raising=False)
+    v = m.init(jax.random.key(0), x)
+    want = m.apply(v, x)
+    monkeypatch.setenv("AP_S2D_STEM", "1")
+    v2 = m.init(jax.random.key(0), x)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+    got = m.apply(v, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5)

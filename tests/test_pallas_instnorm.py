@@ -103,3 +103,24 @@ def test_onepass_stats_matches_twopass(monkeypatch):
         _xla_instance_norm(v, 1e-5, True))))(x)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-4)
+
+
+def test_matmul_stats_matches_twopass(monkeypatch):
+    """AP_IN_STATS=matmul (statistics as MXU dots in the conv layout —
+    measured net-negative on v5e, kept as a documented opt-in) matches
+    the two-pass formulation, values and gradients."""
+    from animateportrait_tpu.ops.pallas_instnorm import _xla_instance_norm
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 24)) * 2.0 - 3.0,
+                    jnp.float32)
+    monkeypatch.setenv("AP_IN_STATS", "twopass")
+    a = _xla_instance_norm(x, 1e-5, True)
+    ga = jax.grad(lambda v: jnp.sum(jnp.sin(
+        _xla_instance_norm(v, 1e-5, True))))(x)
+    monkeypatch.setenv("AP_IN_STATS", "matmul")
+    b = _xla_instance_norm(x, 1e-5, True)
+    gb = jax.grad(lambda v: jnp.sum(jnp.sin(
+        _xla_instance_norm(v, 1e-5, True))))(x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-4)
