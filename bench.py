@@ -479,14 +479,14 @@ def _arm_watchdog():
 #: completed on-hardware run of each metric (ledger in PERF.md)
 _LAST_MEASURED = {
     "e2e_pipeline_frames_per_sec_256px": {
-        "value": 156.366, "date": "2026-08-19",
-        "note": "same metric, v5e chip (tools/measure_sweep_r3.jsonl)"},
+        "value": 163.449, "date": "2026-08-20",
+        "note": "same metric, v5e chip (round-5 rehearsal, PERF.md)"},
     "module2_train_steps_per_sec_256px": {
-        "value": 4.90, "date": "2026-08-19",
-        "note": "same metric, v5e chip (tools/measure_sweep_r3b.jsonl)"},
+        "value": 4.78, "date": "2026-08-20",
+        "note": "f32 batch 4; 5.52 bf16 (round-5 sweep, PERF.md)"},
     "generator_forward_frames_per_sec_256px": {
-        "value": 263.0, "date": "2026-08-19",
-        "note": "same metric, v5e chip (tools/measure_sweep_r3.jsonl)"},
+        "value": 272.0, "date": "2026-08-20",
+        "note": "fp32 batch 8, onepass-IN default (round-5 sweep)"},
 }
 
 
