@@ -249,8 +249,18 @@ def enable_compile_cache(path: str | None = None) -> None:
     path = path or os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
         os.path.expanduser("~/.cache/animateportrait_jax"))
+    # AP_CACHE_MIN_SECS=0 caches EVERY executable including the sub-1s
+    # eager-dispatch programs flax inits emit by the hundreds (the
+    # tests' conftest does the equivalent); measured NEUTRAL for the
+    # fresh-interpreter multihost test (its warm cost is tracing, not
+    # compile churn) — the 1.0 default keeps production cache dirs lean
+    min_secs = float(os.environ.get("AP_CACHE_MIN_SECS", "1.0"))
     try:
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          min_secs)
+        if min_secs <= 0:
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                              -1)
     except Exception:
         pass  # older jax without the knobs: run uncached

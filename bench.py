@@ -246,6 +246,7 @@ def bench_train_step() -> float:
     cfg = Module2Config(
         compute_dtype="bfloat16" if os.environ.get("BENCH_BF16")
         else "float32",
+        remat=bool(os.environ.get("BENCH_REMAT")),
         # stacked D passes win at batch>=2 (+3.3% at batch 4, PERF.md),
         # mirroring train_cli's auto-selection
         batch_d_passes=bs >= 2)

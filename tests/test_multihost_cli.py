@@ -41,6 +41,11 @@ def test_train_cli_two_processes(tmp_path):
         "AP_PLATFORM": "cpu",
         "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
         "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_cache",
+        # NOTE on cost (round-5 measurements, 1-core host): 546 s cold,
+        # ~276 s warm — the warm residual is graph TRACING + executable
+        # deserialization + process startup x2 concurrent interpreters,
+        # not compile churn (AP_CACHE_MIN_SECS=0 tiny-entry caching was
+        # tried and measured neutral-to-slightly-negative, 277->297 s)
     })
 
     def launch(pid):
