@@ -234,19 +234,37 @@ def train_sphere(imgs, wins, labels, n_ids, steps, seed, log):
                             jnp.zeros((1, 112, 96, 3)))
     params = variables["params"]
     kh = jax.random.normal(jax.random.key(seed + 1), (512, n_ids)) * 0.02
-    tx = optax.adam(optax.cosine_decay_schedule(5e-4, steps, 1e-2))
+    tx = optax.adam(optax.cosine_decay_schedule(2e-4, steps, 1e-2))
     opt_state = tx.init((params, kh))
 
     def crops(img_u8, win):
         img = img_u8.astype(jnp.float32)[..., None] / 127.5 - 1.0
         return crop_head_bbox(jnp.repeat(img, 3, -1), win)
 
+    def cos_logits(f, w, scale=16.0):
+        # normalized (cosine) logits: raw fc5 magnitudes explode the CE
+        # with plain softmax on this from-scratch PReLU stack (measured:
+        # CE rose past chance at lr 5e-4); the sphereface-style
+        # normalization keeps the logit scale fixed
+        f = f / (jnp.linalg.norm(f, axis=-1, keepdims=True) + 1e-6)
+        w = w / (jnp.linalg.norm(w, axis=0, keepdims=True) + 1e-6)
+        return scale * (f @ w)
+
     def loss_fn(pw, img_u8, win, lab):
         p, w = pw
         feats = sphere.apply({"params": p}, crops(img_u8, win))
-        logits = feats[4] @ w
-        return optax.softmax_cross_entropy_with_integer_labels(
-            logits, lab).mean()
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            cos_logits(feats[4], w), lab).mean()
+        # feature-scale anchor: cosine CE is scale-invariant, so without
+        # this the raw feature magnitudes drift unboundedly (first
+        # attempt reached O(1e4), making the downstream unweighted-L1
+        # FaceLoss explode to ~75k in the GAN run). Penalize each
+        # feature level's log-RMS toward 0 => every level lands at
+        # RMS ~1, the scale the reference's FaceLoss operates at
+        # (iden_B ~ 2.8 with shipped weights).
+        fs = sum(jnp.square(jnp.log(
+            jnp.sqrt(jnp.mean(jnp.square(f)) + 1e-12))) for f in feats)
+        return ce + 0.05 * fs
 
     @jax.jit
     def step(pw, o, img_u8, win, lab):
@@ -258,7 +276,7 @@ def train_sphere(imgs, wins, labels, n_ids, steps, seed, log):
     def val_acc(pw, img_u8, win, lab):
         p, w = pw
         feats = sphere.apply({"params": p}, crops(img_u8, win))
-        return jnp.mean((jnp.argmax(feats[4] @ w, -1) == lab)
+        return jnp.mean((jnp.argmax(cos_logits(feats[4], w), -1) == lab)
                         .astype(jnp.float32))
 
     rng = np.random.default_rng(seed)
@@ -279,6 +297,13 @@ def train_sphere(imgs, wins, labels, n_ids, steps, seed, log):
     acc = float(val_acc(pw, jnp.asarray(imgs[:n_val]),
                         jnp.asarray(wins[:n_val]),
                         jnp.asarray(labels[:n_val])))
+    feats = sphere.apply({"params": pw[0]},
+                         crops(jnp.asarray(imgs[:32]),
+                               jnp.asarray(wins[:32])))
+    rms = [float(jnp.sqrt(jnp.mean(jnp.square(f)))) for f in feats]
+    log("[sphere] feature RMS per level: "
+        + " ".join(f"{r:.3f}" for r in rms)
+        + " (FaceLoss operates on raw L1 of these)")
     return {"params": pw[0]}, acc
 
 
