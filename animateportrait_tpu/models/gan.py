@@ -20,8 +20,6 @@ align_corners=True at :1297-1306).
 """
 from __future__ import annotations
 
-import os
-
 import numpy as np
 
 import jax
