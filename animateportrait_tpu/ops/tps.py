@@ -361,9 +361,19 @@ def linear_motion_grid(lm_src: jax.Array, lm_dst: jax.Array,
                  + l2[..., None] * s2[:, None])          # (T, hw, 2)
             return jnp.einsum("th,thj->hj", onehot, v, precision=hi)
 
-        # chunk pixel rows to bound the (T, hw) intermediates; pad to a
-        # multiple so odd sizes (e.g. crop_size 129) still reshape
-        n_chunks = max(1, size // 64)
+        # Pixel-row chunking bounds the (T, hw) intermediates; pad to a
+        # multiple so odd sizes (e.g. crop_size 129) still reshape.
+        # The lax.map lowers to a serial while loop whose bookkeeping
+        # measured 8.7% of the renderer's device-busy (round-5 trace);
+        # evaluating all pixels in ONE chunk is bit-identical and wins
+        # -6.8% renderer device time / +5.7% e2e headline (163.4 ->
+        # 172.7 f/s), so 1 is the default at the shipped size (<=256:
+        # the (T~149, 65536) f32 intermediates are ~39 MB/frame, HBM-
+        # trivial). Larger sizes keep the old size//64 heuristic.
+        # AP_TPS_CHUNKS overrides either way (trace-time read).
+        import os
+        n_chunks = int(os.environ.get("AP_TPS_CHUNKS") or 0) or (
+            1 if size <= 256 else max(1, size // 64))
         total = size * size
         per = -(-total // n_chunks)
         p = jnp.pad(pix, ((0, n_chunks * per - total), (0, 0)))

@@ -187,6 +187,55 @@ def profile_generator(steps: int, log_dir: str):
     jax.profiler.stop_trace()
 
 
+def profile_renderer(steps: int, log_dir: str):
+    """Trace the renderer stage (flow + TPS + generator decode + matte
+    blend + uint8) — the e2e headline's hot program. One traced call
+    renders `steps` frame-batches (frame_batch=8, drawing style,
+    random-init full-size nets exactly like bench_e2e)."""
+    import jax
+    import jax.numpy as jnp
+
+    from animateportrait_tpu.models.flowunet import FlowUnet
+    from animateportrait_tpu.models.gan import (ResnetStyle2Generator,
+                                                TridentGeneratorFullIFW)
+    from animateportrait_tpu.models.modnet import MODNet
+    from animateportrait_tpu.pipeline.render import (Module2Renderer,
+                                                     RendererVariables)
+    from animateportrait_tpu.utils.smoke import random_variables
+
+    k = jax.random.key(0)
+    cs = 256
+    gen_v = random_variables(
+        lambda: TridentGeneratorFullIFW(output_nc=1, ngf=64, div=3,
+                                        disp=3).init(
+            k, jnp.zeros((1, cs, cs, 3)), jnp.zeros((1, cs, cs, 1)),
+            jnp.zeros((1, cs, cs, 1)), jnp.zeros((1, cs, cs, 2)),
+            jnp.zeros((1, cs, cs, 2)), jnp.zeros((1, cs, cs, 1))))
+    flow_v = random_variables(
+        lambda: FlowUnet().init(k, jnp.zeros((1, 224, 224, 136))))
+    modnet_v = random_variables(
+        lambda: MODNet().init(k, jnp.zeros((1, cs, cs, 3))))
+    static_v = random_variables(lambda: ResnetStyle2Generator().init(
+        k, jnp.zeros((1, 512, 512, 3)), jnp.zeros((1, 128, 128, 3))))
+    fb = 8
+    renderer = Module2Renderer(
+        RendererVariables(generator=gen_v, flowunet=flow_v,
+                          modnet=modnet_v, static_drawing=static_v),
+        style="drawing", frame_batch=fb, output_uint8=True)
+    rng = np.random.default_rng(0)
+    photo = rng.uniform(-1, 1, (cs, cs, 3)).astype(np.float32)
+    a68 = rng.uniform(60, 200, (68, 2)).astype(np.float32)
+
+    def lm_seq(T, seed):
+        r = np.random.default_rng(seed)
+        return (a68[None] + r.normal(0, 2, (T, 68, 2))).astype(np.float32)
+
+    renderer(photo, a68, lm_seq(fb, 1))  # compile every stage
+    jax.profiler.start_trace(log_dir)
+    renderer(photo, a68, lm_seq(fb * steps, 2))
+    jax.profiler.stop_trace()
+
+
 def profile_train(steps: int, log_dir: str):
     import jax
 
@@ -225,7 +274,7 @@ def profile_train(steps: int, log_dir: str):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("what", nargs="?", default="both",
-                    choices=["generator", "train", "both"])
+                    choices=["generator", "train", "renderer", "both"])
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--out", default="/tmp/jax_trace")
     ap.add_argument("--md", default="")
@@ -245,8 +294,8 @@ def main(argv=None):
         if not args.parse_only:
             print(f"[profile] tracing {prog} x{args.steps} ...",
                   flush=True)
-            (profile_generator if prog == "generator"
-             else profile_train)(args.steps, log_dir)
+            {"generator": profile_generator, "train": profile_train,
+             "renderer": profile_renderer}[prog](args.steps, log_dir)
         agg = _aggregate(_load_trace_events(log_dir))
         body = _report(agg, args.steps)
         if args.drill:
