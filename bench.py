@@ -480,8 +480,8 @@ def _arm_watchdog():
 #: completed on-hardware run of each metric (ledger in PERF.md)
 _LAST_MEASURED = {
     "e2e_pipeline_frames_per_sec_256px": {
-        "value": 163.449, "date": "2026-08-20",
-        "note": "same metric, v5e chip (round-5 rehearsal, PERF.md)"},
+        "value": 171.7, "date": "2026-08-20",
+        "note": "same metric, v5e chip, idle host (round-5, PERF.md)"},
     "module2_train_steps_per_sec_256px": {
         "value": 4.78, "date": "2026-08-20",
         "note": "f32 batch 4; 5.52 bf16 (round-5 sweep, PERF.md)"},
