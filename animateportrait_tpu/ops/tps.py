@@ -357,18 +357,25 @@ def linear_motion_grid(lm_src: jax.Array, lm_dst: jax.Array,
             best = jnp.max(minb, axis=0, keepdims=True)  # (1, hw)
             onehot = (minb >= best).astype(jnp.float32)
             onehot = onehot / jnp.sum(onehot, 0, keepdims=True)
-            v = (l0[..., None] * s0[:, None] + l1[..., None] * s1[:, None]
-                 + l2[..., None] * s2[:, None])          # (T, hw, 2)
-            return jnp.einsum("th,thj->hj", onehot, v, precision=hi)
+            # contract the one-hot into each barycentric field FIRST:
+            # three (hw,T)@(T,2) dots whose (T,hw) operands fuse
+            # elementwise, instead of materializing the (T,hw,2)
+            # interpolant v and contracting once — same sum reassociated
+            return (jnp.einsum("th,tj->hj", onehot * l0, s0, precision=hi)
+                    + jnp.einsum("th,tj->hj", onehot * l1, s1,
+                                 precision=hi)
+                    + jnp.einsum("th,tj->hj", onehot * l2, s2,
+                                 precision=hi))
 
         # Pixel-row chunking bounds the (T, hw) intermediates; pad to a
         # multiple so odd sizes (e.g. crop_size 129) still reshape.
         # The lax.map lowers to a serial while loop whose bookkeeping
         # measured 8.7% of the renderer's device-busy (round-5 trace);
         # evaluating all pixels in ONE chunk is bit-identical and wins
-        # -6.8% renderer device time / +5.7% e2e headline (163.4 ->
-        # 172.7 f/s), so 1 is the default at the shipped size (<=256:
-        # the (T~149, 65536) f32 intermediates are ~39 MB/frame, HBM-
+        # -6.8% renderer device time (with the one-hot contraction
+        # restructure above, -13.6% cumulative and e2e 171.7 -> 182-185
+        # f/s), so 1 is the default at the shipped size (<=256: the
+        # (T~149, 65536) f32 intermediates are ~39 MB/frame, HBM-
         # trivial). Larger sizes keep the old size//64 heuristic.
         # AP_TPS_CHUNKS overrides either way (trace-time read).
         import os

@@ -480,7 +480,7 @@ def _arm_watchdog():
 #: completed on-hardware run of each metric (ledger in PERF.md)
 _LAST_MEASURED = {
     "e2e_pipeline_frames_per_sec_256px": {
-        "value": 171.7, "date": "2026-08-20",
+        "value": 183.8, "date": "2026-08-20",
         "note": "same metric, v5e chip, idle host (round-5, PERF.md)"},
     "module2_train_steps_per_sec_256px": {
         "value": 4.78, "date": "2026-08-20",
