@@ -367,26 +367,33 @@ def linear_motion_grid(lm_src: jax.Array, lm_dst: jax.Array,
                     + jnp.einsum("th,tj->hj", onehot * l2, s2,
                                  precision=hi))
 
-        # Pixel-row chunking bounds the (T, hw) intermediates; pad to a
-        # multiple so odd sizes (e.g. crop_size 129) still reshape.
-        # The lax.map lowers to a serial while loop whose bookkeeping
-        # measured 8.7% of the renderer's device-busy (round-5 trace);
-        # evaluating all pixels in ONE chunk is bit-identical and wins
-        # -6.8% renderer device time (with the one-hot contraction
-        # restructure above, -13.6% cumulative and e2e 171.7 -> 182-185
-        # f/s), so 1 is the default at the shipped size (<=256: the
-        # (T~149, 65536) f32 intermediates are ~39 MB/frame, HBM-
-        # trivial). Larger sizes keep the old size//64 heuristic.
-        # AP_TPS_CHUNKS overrides either way (trace-time read).
-        import os
-        n_chunks = int(os.environ.get("AP_TPS_CHUNKS") or 0) or (
-            1 if size <= 256 else max(1, size // 64))
         total = size * size
         per = -(-total // n_chunks)
         p = jnp.pad(pix, ((0, n_chunks * per - total), (0, 0)))
         out = jax.lax.map(rows, p.reshape(n_chunks, per, 2))
         return out.reshape(n_chunks * per, 2)[:total].reshape(
             size, size, 2)
+
+    # Pixel-row chunking bounds the (T, hw) intermediates (the lax.map
+    # per-frame lowers to a serial while loop). The loop's bookkeeping
+    # alone measured 8.7% of the renderer's device-busy (round-5
+    # trace); evaluating all pixels in ONE chunk is bit-identical and,
+    # with the one-hot contraction restructure above, wins -13.6%
+    # renderer device time and e2e 171.7 -> 182-185 f/s. The chunk
+    # count is chosen OUTSIDE the vmap so it can account for the frame
+    # batch: the live (T, hw) intermediates scale with b x T x hw (~6
+    # of them), so bound the whole vmapped set to ~2 GB — at the
+    # shipped (b=8, T~150, 256^2) that resolves to ONE chunk; bigger
+    # frame batches or sizes chunk up instead of OOMing a 16 GB chip.
+    # Budget 4 GB: the shipped (b=8, T_pad=160, 256^2) needs 2.0 GB and
+    # must stay in ONE chunk (the measured win); fb=32 or 512 px
+    # resolve to 2 chunks. AP_TPS_CHUNKS overrides (trace-time read).
+    import os
+    b, T = simplices.shape[0], simplices.shape[1]
+    budget = 4e9
+    need = b * T * (size * size) * 4.0 * 6
+    n_chunks = int(os.environ.get("AP_TPS_CHUNKS") or 0) or max(
+        1, int(np.ceil(need / budget)))
 
     mapped = jax.vmap(one)(src, dst, simplices)
     grid = jnp.stack([mapped[..., 1], mapped[..., 0]], -1)  # (x, y)

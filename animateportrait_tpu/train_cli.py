@@ -140,6 +140,11 @@ def main(argv=None):
 
         frozen = m2.init_frozen_random(rng, cfg.crop_size,
                                        cfg.face_recog_model)
+        # the native name for the 'sphere' SLOT depends on which face
+        # net fills it: a sphere.flax.npz stand-in (Sphere20a) must not
+        # shadow a --face_recog_model senet selection — the param trees
+        # are incompatible and the step would crash (or silently swap
+        # the loss net)
         if cfg.use_senet:
             # --face_recog_model with 'senet' in the path selects the
             # 224x224 SENet50 FaceLoss (networks.py:2862-2876); the
@@ -168,7 +173,9 @@ def main(argv=None):
         }
         updates = {}
         for name, (path, loader) in repl_map.items():
-            v = opt(path, loader, name)
+            native_key = ("senet" if name == "sphere" and cfg.use_senet
+                          else name)
+            v = opt(path, loader, native_key)
             if v is not None:
                 updates[name] = v
         return frozen.replace(**updates) if updates else frozen

@@ -254,7 +254,10 @@ def enable_compile_cache(path: str | None = None) -> None:
     # tests' conftest does the equivalent); measured NEUTRAL for the
     # fresh-interpreter multihost test (its warm cost is tracing, not
     # compile churn) — the 1.0 default keeps production cache dirs lean
-    min_secs = float(os.environ.get("AP_CACHE_MIN_SECS", "1.0"))
+    try:
+        min_secs = float(os.environ.get("AP_CACHE_MIN_SECS", "1.0"))
+    except ValueError:
+        min_secs = 1.0  # cache config must never abort a run
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",

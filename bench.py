@@ -31,6 +31,12 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
+
+def _env_flag(name: str) -> bool:
+    """Boolean env flag: unset, '' and '0' are False (bool("0") is True —
+    a sweep script setting BENCH_REMAT=0 must mean OFF)."""
+    return os.environ.get(name, "") not in ("", "0")
+
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 H = 256
 STEPS = int(os.environ.get("BENCH_STEPS", "32"))
@@ -50,7 +56,7 @@ def bench_jax() -> float:
 
     def mk(shape):
         return jnp.asarray(rng.uniform(-1, 1, shape), jnp.bfloat16
-                           if os.environ.get("BENCH_BF16") else jnp.float32)
+                           if _env_flag("BENCH_BF16") else jnp.float32)
 
     args = (mk((BATCH, H, H, 3)), mk((BATCH, H, H, 1)), mk((BATCH, H, H, 1)),
             mk((BATCH, H, H, 2)), mk((BATCH, H, H, 2)),
@@ -61,7 +67,7 @@ def bench_jax() -> float:
         init_dev = jax.devices()[0]
     with jax.default_device(init_dev):
         variables = model.init(jax.random.key(0), *args)
-    if os.environ.get("BENCH_BF16"):
+    if _env_flag("BENCH_BF16"):
         variables = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32
             else x, variables)
@@ -244,9 +250,9 @@ def bench_train_step() -> float:
     # step's compute dtype (f32 master weights + f32 warp/IN guards kept
     # by the trainer, train/module2.py compute_dtype)
     cfg = Module2Config(
-        compute_dtype="bfloat16" if os.environ.get("BENCH_BF16")
+        compute_dtype="bfloat16" if _env_flag("BENCH_BF16")
         else "float32",
-        remat=bool(os.environ.get("BENCH_REMAT")),
+        remat=_env_flag("BENCH_REMAT"),
         # stacked D passes win at batch>=2 (+3.3% at batch 4, PERF.md),
         # mirroring train_cli's auto-selection
         batch_d_passes=bs >= 2)
@@ -356,7 +362,7 @@ def bench_e2e() -> tuple[float, int]:
                           modnet=modnet_v, static_drawing=static_v),
         style="drawing",
         frame_batch=int(os.environ.get("BENCH_FB", "8")),
-        use_bf16=bool(os.environ.get("BENCH_BF16")),
+        use_bf16=_env_flag("BENCH_BF16"),
         output_uint8=True)
     pipe = TalkingPortraitPipeline(_StubDetector(), predictor, audio,
                                    renderer)
@@ -655,8 +661,16 @@ def main():
     # both attempts failed — forward the last attempt's output so the
     # driver records the child's structured error JSON (never a bare
     # traceback: the child converts exceptions, and its watchdog emits
-    # the same payload on hang)
-    sys.stdout.write(last.stdout)
+    # the same payload on hang). A child killed OUTSIDE python (segfault,
+    # OOM kill) emits nothing — synthesize the payload so stdout still
+    # ends in a parseable line.
+    if not any(ln.startswith("{") for ln in last.stdout.splitlines()):
+        sys.stdout.write(_error_payload(
+            f"child died without structured output (rc={last.returncode}"
+            f", killed?); stderr tail: {last.stderr.strip()[-300:]}")
+            + "\n")
+    else:
+        sys.stdout.write(last.stdout)
     sys.stderr.write(last.stderr[-2000:])
     raise SystemExit(last.returncode or 4)
 

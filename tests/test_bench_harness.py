@@ -111,3 +111,16 @@ def test_no_retry_env(monkeypatch, capsys):
     with pytest.raises(SystemExit):
         bench.main()
     assert len(calls) == 1
+
+
+def test_child_killed_without_output_synthesizes_error(monkeypatch,
+                                                       capsys):
+    """A child killed outside python (segfault/OOM) emits nothing;
+    the parent must still end stdout with a structured JSON line."""
+    rc, calls, out = _run_main_with_children(
+        monkeypatch, capsys, [_FakeProc(-9, "")])
+    assert len(calls) == 2 and rc == -9
+    lines = [ln for ln in out.strip().splitlines() if ln.startswith("{")]
+    assert len(lines) == 1
+    payload = json.loads(lines[0])
+    assert payload["value"] is None and "killed" in payload["error"]

@@ -54,3 +54,18 @@ def test_compare_frame_count_mismatch(tmp_path, capsys):
     cv2.imwrite(str(ref / "1.png"), a)
     assert qt.compare(str(ours), str(ref), 40.0, "m")
     assert "mismatch" in capsys.readouterr().out
+
+
+def test_compare_fails_on_large_frame_count_mismatch(tmp_path, capsys):
+    """A >1 frame-count gap means frames are MISSING: high PSNR over
+    the overlap must not pass the fidelity gate."""
+    import cv2
+
+    a = np.zeros((8, 8, 3), np.uint8)
+    ours, ref = tmp_path / "o", tmp_path / "r"
+    ours.mkdir(), ref.mkdir()
+    cv2.imwrite(str(ours / "0.png"), a)
+    for i in range(5):
+        cv2.imwrite(str(ref / f"{i}.png"), a)
+    assert not qt.compare(str(ours), str(ref), 40.0, "gap")
+    assert "FAIL" in capsys.readouterr().out

@@ -62,13 +62,18 @@ def compare(ours_path: str, ref_path: str, threshold: float,
     ours = load_frames(ours_path)
     ref = load_frames(ref_path)
     n = min(len(ours), len(ref))
+    count_ok = abs(len(ours) - len(ref)) <= 1
     if len(ours) != len(ref):
+        # off-by-one is mux rounding; anything more means frames are
+        # MISSING and a high PSNR over the overlap must not pass the
+        # fidelity gate
         print(f"[{label}] frame count mismatch: ours {len(ours)} vs "
-              f"ref {len(ref)}; comparing first {n}")
+              f"ref {len(ref)}; comparing first {n}"
+              + ("" if count_ok else " — FAIL (beyond mux rounding)"))
     per_frame = [psnr(ours[i], ref[i]) for i in range(n)]
     mean = float(np.mean(per_frame))
     worst = float(np.min(per_frame))
-    ok = mean >= threshold
+    ok = mean >= threshold and count_ok
     print(f"[{label}] frames={n} mean_psnr={mean:.2f}dB "
           f"worst={worst:.2f}dB threshold={threshold}dB "
           f"{'PASS' if ok else 'FAIL'}")
